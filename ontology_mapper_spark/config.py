@@ -1,0 +1,103 @@
+"""Configuration surface of the engine.
+
+Mirrors the reference's query surface (`/root/reference/text2term/t2t.py:31-34`,
+`mapper.py:6-20`, `term.py:6-9`) as a dataclass instead of keyword soup.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+class Mapper:
+    """String-enum of mapping methods (reference `mapper.py:6-16`).
+
+    ZOOMA / BIOPORTAL are network mappers and out of scope (no network in
+    this engine); they are listed for API-parity error messages only.
+    """
+
+    LEVENSHTEIN = "levenshtein"
+    JARO = "jaro"
+    JARO_WINKLER = "jarowinkler"
+    JACCARD = "jaccard"
+    FUZZY = "fuzzy"
+    TFIDF = "tfidf"
+    INDEL = "indel"
+    ZOOMA = "zooma"
+    BIOPORTAL = "bioportal"
+
+    SYNTACTIC = {LEVENSHTEIN, JARO, JARO_WINKLER, JACCARD, FUZZY, INDEL}
+    ALL = SYNTACTIC | {TFIDF, ZOOMA, BIOPORTAL}
+
+
+class OntologyTermType:
+    """Reference `term.py:6-9`."""
+
+    CLASS = "class"
+    PROPERTY = "property"
+    ANY = "any"
+
+    ALL = {CLASS, PROPERTY, ANY}
+
+
+# Reference `t2t.py:23-24`
+IGNORE_TAGS = ["ignore", "Ignore", "ignore ", "Ignore "]
+UNMAPPED_TAG = "unmapped"
+
+# Reference output schema (`t2t.py:25-26`); we keep snake_case internally and
+# rename at the sink (`sinks.write_mappings_csv`).
+OUTPUT_COLUMNS = [
+    "Source Term",
+    "Source Term ID",
+    "Mapped Term Label",
+    "Mapped Term CURIE",
+    "Mapped Term IRI",
+    "Mapping Score",
+    "Tags",
+]
+
+INTERNAL_COLUMNS = [
+    "source_term",
+    "source_term_id",
+    "mapped_term_label",
+    "mapped_term_curie",
+    "mapped_term_iri",
+    "mapping_score",
+    "tags",
+]
+
+
+@dataclass
+class MappingConfig:
+    """All knobs of `map_terms` (reference `t2t.py:31-34` defaults)."""
+
+    base_iris: tuple = ()
+    excl_deprecated: bool = False
+    max_mappings: int = 3
+    min_score: float = 0.3
+    mapper: str = Mapper.TFIDF
+    term_type: str = OntologyTermType.CLASS
+    incl_unmapped: bool = False
+    ngram_length: int = 3  # tfidf_mapper.py:20
+    ntop: int = 50  # tfidf_mapper.py:55 candidate cap per mention
+    # Engine-only scale knobs (no reference equivalent):
+    use_inverted_index: bool = False  # False => broadcast-CSR mapInPandas path
+    candidate_prefilter: bool = True  # syntactic mappers: restrict cross join
+    # via TF-IDF candidates at scale (SURVEY.md §4); tests at fixture scale
+    # run the exact O(n*m) semantics when this is False.
+    shuffle_partitions: int | None = None
+
+    def validate(self) -> None:
+        if self.mapper not in Mapper.ALL:
+            raise ValueError(f"Unsupported mapper: {self.mapper}")
+        if self.mapper in {Mapper.ZOOMA, Mapper.BIOPORTAL}:
+            raise ValueError(
+                f"Mapper '{self.mapper}' requires network access and is not "
+                "supported by this engine (see SURVEY.md §2 S11/S12)."
+            )
+        if self.term_type not in OntologyTermType.ALL:
+            raise ValueError(f"Unsupported term_type: {self.term_type}")
+        if not 0.0 <= self.min_score <= 1.0:
+            raise ValueError("min_score must be in [0, 1]")
+        if self.max_mappings < 1:
+            raise ValueError("max_mappings must be >= 1")

@@ -1,0 +1,326 @@
+"""TF-IDF cosine top-n similarity join (SURVEY.md §2 J1/J2/A1-A3/T1/T2).
+
+Reference semantics (``/root/reference/text2term/tfidf_mapper.py:20-77``):
+normalize source mentions (targets only lowercased), char_wb 3-gram TF-IDF
+with a shared vocabulary but *per-corpus* IDF (smooth_idf, raw tf, l2 norm),
+cosine via sparse dot, per-mention top-``ntop``=50 candidates with
+score >= min_score, then first-occurrence-per-IRI dedup capped at
+``max_mappings``.
+
+Two physically different plans, identical results (tests assert equality):
+
+- ``tfidf_map_broadcast`` — the 100 TB path. The ontology is a dimension
+  (<100 MB vectorized): its postings are broadcast; mentions are scored
+  map-side in an Arrow-batched ``mapInPandas`` kernel with the per-mention
+  top-k applied *inside* the kernel, so candidate pruning happens before any
+  data would move. The only shuffle in the whole stage is the tiny
+  ngram-document-frequency aggregate (|vocab| <= ~40^3 keys, partial agg
+  map-side). Scoring itself is embarrassingly parallel — linear scale-out.
+
+- ``tfidf_map_inverted_index`` — pure DataFrame/Catalyst plan (broadcast
+  ngram-postings equi-join + hash aggregate + window top-k). SQL-expressible
+  (DuckDB oracle parity) and the fallback when the ontology outgrows a
+  broadcast. One shuffle: the (mention, label) score aggregate; skew on
+  stop-ngrams is handled by AQE skew-join + the fact that near-zero-IDF
+  postings contribute negligible score mass.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ontology_mapper_spark.config import MappingConfig
+from ontology_mapper_spark.text.normalize import (
+    char_wb_ngrams_col,
+    char_wb_ngrams_py,
+    normalize_col,
+)
+
+CANDIDATE_SCHEMA = T.StructType(
+    [
+        T.StructField("source_term_id", T.StringType()),
+        T.StructField("source_term", T.StringType()),
+        T.StructField("mapped_term_label", T.StringType()),
+        T.StructField("mapped_term_iri", T.StringType()),
+        T.StructField("mapping_score", T.DoubleType()),
+    ]
+)
+
+
+def _labels_ordered(onto_labels: DataFrame) -> DataFrame:
+    """Assign deterministic label ids. The reference's label order is dict
+    insertion order (``tfidf_mapper.py:79-95``); we pin
+    (iri, is_synonym, name) — ties in top-k resolve by this id in both
+    physical plans and in the oracle."""
+    w = Window.orderBy("iri", "is_synonym", "name")
+    return onto_labels.withColumn("label_id", F.row_number().over(w) - 1)
+
+
+def source_idf_map(mentions_norm: DataFrame) -> tuple[dict[str, float], int]:
+    """Document frequency of each char-3gram over the mention corpus
+    (reference fits TfidfVectorizer on the full to_map list:
+    ``tfidf_mapper.py:51``). One small aggregate: |keys| is bounded by the
+    trigram space, partial aggregation collapses it map-side."""
+    n_docs = mentions_norm.count()
+    rows = (
+        mentions_norm.select(
+            F.explode(F.array_distinct(char_wb_ngrams_col(F.col("norm")))).alias(
+                "ngram"
+            )
+        )
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .collect()
+    )
+    idf = {
+        r["ngram"]: math.log((1 + n_docs) / (1 + r["df"])) + 1.0 for r in rows
+    }
+    return idf, n_docs
+
+
+class _TargetIndex:
+    """Driver-built vectorized ontology: per-ngram postings of l2-normalized
+    tf-idf weights, plus per-label iri/display arrays. Broadcast once."""
+
+    __slots__ = ("postings", "iris", "displays", "n_labels")
+
+    def __init__(self, labels: list[tuple[str, str, str]], ngram_length: int):
+        # labels: [(name, iri, display_label)] in label_id order
+        self.n_labels = len(labels)
+        self.iris = np.array([l[1] for l in labels], dtype=object)
+        self.displays = np.array([l[2] for l in labels], dtype=object)
+        tfs = [Counter(char_wb_ngrams_py(l[0], ngram_length)) for l in labels]
+        df: Counter = Counter()
+        for tf in tfs:
+            df.update(tf.keys())
+        n_docs = len(tfs)
+        idf = {g: math.log((1 + n_docs) / (1 + d)) + 1.0 for g, d in df.items()}
+        post: dict[str, tuple[list[int], list[float]]] = {}
+        for lid, tf in enumerate(tfs):
+            w = {g: c * idf[g] for g, c in tf.items()}
+            norm = math.sqrt(sum(v * v for v in w.values()))
+            if norm == 0.0:
+                continue
+            for g, v in w.items():
+                ids, ws = post.setdefault(g, ([], []))
+                ids.append(lid)
+                ws.append(v / norm)
+        self.postings = {
+            g: (np.asarray(ids, dtype=np.int64), np.asarray(ws, dtype=np.float64))
+            for g, (ids, ws) in post.items()
+        }
+
+
+def build_target_index(
+    onto_labels: DataFrame, ngram_length: int = 3
+) -> _TargetIndex:
+    rows = (
+        _labels_ordered(onto_labels)
+        .select("name", "iri", "display_label", "label_id")
+        .orderBy("label_id")
+        .collect()
+    )
+    return _TargetIndex(
+        [(r["name"], r["iri"], r["display_label"]) for r in rows], ngram_length
+    )
+
+
+def _score_one(
+    norm_term: str,
+    idx: _TargetIndex,
+    src_idf: dict[str, float],
+    default_idf: float,
+    cfg: MappingConfig,
+) -> list[tuple[int, float]]:
+    """Candidate (label_id, score) list for one normalized mention —
+    the awesome_cossim_topn row kernel (``tfidf_mapper.py:50-55``) plus the
+    IRI-dedup scan of ``_get_mappings`` (``tfidf_mapper.py:57-77``)."""
+    tf = Counter(char_wb_ngrams_py(norm_term, cfg.ngram_length))
+    if not tf:
+        return []
+    w = {g: c * src_idf.get(g, default_idf) for g, c in tf.items()}
+    norm = math.sqrt(sum(v * v for v in w.values()))
+    scores = np.zeros(idx.n_labels, dtype=np.float64)
+    hit = False
+    for g, v in w.items():
+        p = idx.postings.get(g)
+        if p is not None:
+            scores[p[0]] += (v / norm) * p[1]
+            hit = True
+    if not hit:
+        return []
+    cand = np.flatnonzero(scores >= max(cfg.min_score, 1e-12))
+    if cand.size == 0:
+        return []
+    order = np.lexsort((cand, -scores[cand]))  # score desc, label_id asc
+    cand = cand[order][: cfg.ntop]
+    out: list[tuple[int, float]] = []
+    seen: set[str] = set()
+    for lid in cand:
+        if len(seen) == cfg.max_mappings:
+            break
+        iri = idx.iris[lid]
+        if iri in seen:
+            continue
+        seen.add(iri)
+        out.append((int(lid), float(scores[lid])))
+    return out
+
+
+def tfidf_map_broadcast(
+    mentions: DataFrame, onto_labels: DataFrame, cfg: MappingConfig
+) -> DataFrame:
+    """Scale path: broadcast target index, map-side Arrow-batched scoring.
+
+    ``mentions`` needs columns (source_term_id, source_term). Returns
+    candidate mappings (unrounded scores; post-processing in pipeline.py).
+    """
+    spark = mentions.sparkSession
+    m = mentions.withColumn("norm", normalize_col(F.col("source_term")))
+    src_idf, n_docs = source_idf_map(m)
+    default_idf = math.log(float(1 + n_docs)) + 1.0  # df=0 fallback
+    idx = build_target_index(onto_labels, cfg.ngram_length)
+    b_idx = spark.sparkContext.broadcast(idx)
+    b_idf = spark.sparkContext.broadcast(src_idf)
+    min_score, max_mappings, ntop, nlen = (
+        cfg.min_score,
+        cfg.max_mappings,
+        cfg.ntop,
+        cfg.ngram_length,
+    )
+    local_cfg = MappingConfig(
+        min_score=min_score, max_mappings=max_mappings, ntop=ntop, ngram_length=nlen
+    )
+
+    def score_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tindex: _TargetIndex = b_idx.value
+        sidf = b_idf.value
+        memo: dict[str, list[tuple[int, float]]] = {}
+        for pdf in batches:
+            ids_out, terms_out, lbl_out, iri_out, sc_out = [], [], [], [], []
+            for sid, term, norm in zip(
+                pdf["source_term_id"], pdf["source_term"], pdf["norm"]
+            ):
+                cands = memo.get(norm)
+                if cands is None:
+                    cands = _score_one(norm, tindex, sidf, default_idf, local_cfg)
+                    memo[norm] = cands
+                for lid, score in cands:
+                    ids_out.append(sid)
+                    terms_out.append(term)
+                    lbl_out.append(tindex.displays[lid])
+                    iri_out.append(tindex.iris[lid])
+                    sc_out.append(score)
+            yield pd.DataFrame(
+                {
+                    "source_term_id": ids_out,
+                    "source_term": terms_out,
+                    "mapped_term_label": lbl_out,
+                    "mapped_term_iri": iri_out,
+                    "mapping_score": sc_out,
+                }
+            )
+
+    return m.select("source_term_id", "source_term", "norm").mapInPandas(
+        score_batches, schema=CANDIDATE_SCHEMA
+    )
+
+
+def tfidf_map_inverted_index(
+    mentions: DataFrame, onto_labels: DataFrame, cfg: MappingConfig
+) -> DataFrame:
+    """Pure-DataFrame plan: explode n-grams, broadcast the target postings,
+    equi-join on ngram, hash-aggregate the cosine, window top-k."""
+    m = mentions.withColumn("norm", normalize_col(F.col("source_term")))
+    n_src = m.count()
+
+    src_tf = (
+        m.select(
+            "source_term_id",
+            "source_term",
+            F.explode(char_wb_ngrams_col(F.col("norm"))).alias("ngram"),
+        )
+        .groupBy("source_term_id", "source_term", "ngram")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    src_idf = src_tf.groupBy("ngram").agg(
+        (F.log((F.lit(1.0) + F.lit(float(n_src))) / (1 + F.count(F.lit(1)))) + 1.0)
+        .alias("idf")
+    )
+    src_w = src_tf.join(src_idf, "ngram").withColumn("w", F.col("tf") * F.col("idf"))
+    src_norm = src_w.groupBy("source_term_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
+    )
+    src_vec = src_w.join(src_norm, "source_term_id").select(
+        "source_term_id",
+        "source_term",
+        "ngram",
+        (F.col("w") / F.col("nrm")).alias("ws"),
+    )
+
+    lbl = _labels_ordered(onto_labels)
+    n_tgt = lbl.count()
+    tgt_tf = (
+        lbl.select(
+            "label_id",
+            "iri",
+            "display_label",
+            F.explode(char_wb_ngrams_col(F.col("name"))).alias("ngram"),
+        )
+        .groupBy("label_id", "iri", "display_label", "ngram")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    tgt_idf = tgt_tf.groupBy("ngram").agg(
+        (F.log((F.lit(1.0) + F.lit(float(n_tgt))) / (1 + F.count(F.lit(1)))) + 1.0)
+        .alias("idf")
+    )
+    tgt_w = tgt_tf.join(tgt_idf, "ngram").withColumn("w", F.col("tf") * F.col("idf"))
+    tgt_norm = tgt_w.groupBy("label_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
+    )
+    tgt_vec = tgt_w.join(tgt_norm, "label_id").select(
+        "label_id",
+        "iri",
+        "display_label",
+        "ngram",
+        (F.col("w") / F.col("nrm")).alias("wt"),
+    )
+
+    scored = (
+        src_vec.join(F.broadcast(tgt_vec), "ngram")
+        .groupBy("source_term_id", "source_term", "label_id", "iri", "display_label")
+        .agg(F.sum(F.col("ws") * F.col("wt")).alias("mapping_score"))
+        .filter(F.col("mapping_score") >= cfg.min_score)
+    )
+    w_top = Window.partitionBy("source_term_id").orderBy(
+        F.desc("mapping_score"), F.asc("label_id")
+    )
+    top_labels = scored.withColumn("rn", F.row_number().over(w_top)).filter(
+        F.col("rn") <= cfg.ntop
+    )
+    # first occurrence per IRI within the ntop window == max score per IRI,
+    # ties by smallest label_id (tfidf_mapper.py:57-77)
+    w_iri = Window.partitionBy("source_term_id", "iri").orderBy("rn")
+    per_iri = top_labels.withColumn("rn_iri", F.row_number().over(w_iri)).filter(
+        F.col("rn_iri") == 1
+    )
+    w_final = Window.partitionBy("source_term_id").orderBy("rn")
+    return (
+        per_iri.withColumn("rk", F.row_number().over(w_final))
+        .filter(F.col("rk") <= cfg.max_mappings)
+        .select(
+            "source_term_id",
+            "source_term",
+            F.col("display_label").alias("mapped_term_label"),
+            F.col("iri").alias("mapped_term_iri"),
+            "mapping_score",
+        )
+    )

@@ -1,0 +1,143 @@
+"""J1/J2/T1/T2: TF-IDF cosine top-n join — oracle vs both physical plans.
+
+The numpy oracle replays the reference kernel
+(``tfidf_mapper.py:20-77``); both Spark implementations must reproduce it
+exactly (scores to 1e-9 before rounding, identical candidate sets and order).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ontology_mapper_spark.config import MappingConfig
+from ontology_mapper_spark.operators.tfidf import (
+    tfidf_map_broadcast,
+    tfidf_map_inverted_index,
+)
+from ontology_mapper_spark.oracle.tfidf_oracle import tfidf_mappings
+from ontology_mapper_spark.sources.ontology import (
+    filter_terms_df,
+    fixture_onto_terms,
+    onto_labels_df,
+)
+
+SOURCE_TERMS = [
+    "asthma",
+    "acute bronchitis",
+    "colon disease",
+    "disease location",
+    "food allergy",
+    "asthma attack",
+    "protein level",
+    "allergy",
+    "carbon monoxide",  # unmapped at default min_score
+    "margarita",
+    "mojito",
+    "isdjfnsdfwd",
+    "Multiple_sclerosis and the like",
+    "BMI",
+]
+
+
+def _oracle_rows(spark, cfg: MappingConfig, terms=SOURCE_TERMS):
+    onto = filter_terms_df(
+        fixture_onto_terms(spark), cfg.base_iris, cfg.excl_deprecated, cfg.term_type
+    )
+    labels = (
+        onto_labels_df(onto)
+        .select("name", "iri", "display_label", "is_synonym")
+        .orderBy("iri", "is_synonym", "name")
+        .collect()
+    )
+    ids = [f"id{i}" for i in range(len(terms))]
+    return tfidf_mappings(
+        terms,
+        ids,
+        [r["name"] for r in labels],
+        [r["iri"] for r in labels],
+        [r["display_label"] for r in labels],
+        max_mappings=cfg.max_mappings,
+        min_score=cfg.min_score,
+        ngram_length=cfg.ngram_length,
+        ntop=cfg.ntop,
+    )
+
+
+def _spark_rows(spark, cfg: MappingConfig, impl, terms=SOURCE_TERMS):
+    mentions = spark.createDataFrame(
+        [(f"id{i}", t) for i, t in enumerate(terms)],
+        ["source_term_id", "source_term"],
+    )
+    onto = filter_terms_df(
+        fixture_onto_terms(spark), cfg.base_iris, cfg.excl_deprecated, cfg.term_type
+    )
+    out = impl(mentions, onto_labels_df(onto), cfg)
+    return [
+        r.asDict()
+        for r in out.orderBy("source_term_id", F.desc("mapping_score"),
+                             "mapped_term_iri").collect()
+    ]
+
+
+def _assert_matches_oracle(spark, cfg: MappingConfig, impl):
+    got = _spark_rows(spark, cfg, impl)
+    exp = _oracle_rows(spark, cfg)
+    key = lambda r: (r["source_term_id"], r["mapped_term_iri"])  # noqa: E731
+    got_m = {key(r): r for r in got}
+    exp_m = {key(r): r for r in exp}
+    assert set(got_m) == set(exp_m), (
+        f"candidate sets differ: only_spark={set(got_m) - set(exp_m)} "
+        f"only_oracle={set(exp_m) - set(got_m)}"
+    )
+    for k, e in exp_m.items():
+        g = got_m[k]
+        assert abs(g["mapping_score"] - e["mapping_score"]) < 5e-4, (k, g, e)
+        assert g["mapped_term_label"] == e["mapped_term_label"], (k, g, e)
+        assert g["source_term"] == e["source_term"]
+
+
+@pytest.mark.spark
+def test_broadcast_matches_oracle_defaults(spark):
+    _assert_matches_oracle(spark, MappingConfig(), tfidf_map_broadcast)
+
+
+@pytest.mark.spark
+def test_inverted_index_matches_oracle_defaults(spark):
+    _assert_matches_oracle(spark, MappingConfig(), tfidf_map_inverted_index)
+
+
+@pytest.mark.spark
+@pytest.mark.parametrize(
+    "cfg",
+    [
+        MappingConfig(min_score=0.6, max_mappings=1),
+        MappingConfig(min_score=0.0, max_mappings=5),
+        MappingConfig(min_score=0.99),  # near-empty result (simple_tests.py:218-223)
+        MappingConfig(term_type="property"),  # simple_tests.py:117-136
+        MappingConfig(term_type="any", excl_deprecated=True),
+        MappingConfig(base_iris=("http://purl.obolibrary.org/obo/HP",)),
+    ],
+    ids=["minscore06", "all_cands", "minscore099", "property", "any_nodepr", "hp_only"],
+)
+def test_both_impls_match_oracle_config_matrix(spark, cfg):
+    _assert_matches_oracle(spark, cfg, tfidf_map_broadcast)
+    _assert_matches_oracle(spark, cfg, tfidf_map_inverted_index)
+
+
+@pytest.mark.spark
+def test_impls_agree_exactly(spark):
+    cfg = MappingConfig(min_score=0.2, max_mappings=4)
+    a = _spark_rows(spark, cfg, tfidf_map_broadcast)
+    b = _spark_rows(spark, cfg, tfidf_map_inverted_index)
+    assert len(a) == len(b)
+    for ra, rb in zip(a, b):
+        assert ra["source_term_id"] == rb["source_term_id"]
+        assert ra["mapped_term_iri"] == rb["mapped_term_iri"]
+        assert abs(ra["mapping_score"] - rb["mapping_score"]) < 1e-9
+
+
+@pytest.mark.spark
+def test_high_threshold_yields_exact_match_only(spark):
+    cfg = MappingConfig(min_score=0.99, max_mappings=3)
+    rows = _spark_rows(spark, cfg, tfidf_map_broadcast, terms=["asthma", "mojito"])
+    assert {r["source_term"] for r in rows} == {"asthma"}
+    assert all(r["mapping_score"] >= 0.99 for r in rows)
