@@ -1,0 +1,158 @@
+"""Syntactic (string-metric) mapper (SURVEY.md §2 J3/D1/D2/A4/T3).
+
+Reference semantics (``/root/reference/text2term/syntactic_mapper.py:21-75``):
+for every source term x every ontology term, score = max over the term's
+labels+synonyms of metric(source, name) — NO normalization of either side —
+then keep the top ``max_mappings`` terms (stable sort; ties pinned here to
+ascending IRI). Every ontology term is a candidate, so scores of 0.0 can be
+emitted; ``min_score`` filtering happens downstream (``t2t.py:285-289``),
+exactly as in the reference.
+
+Physical plans:
+
+- ``syntactic_map_broadcast`` — ontology names grouped per IRI, broadcast;
+  Arrow-batched ``mapInPandas`` computes the max-over-names metric and the
+  per-mention top-k inside the kernel. Zero shuffle; linear scale-out. This
+  is the faithful O(|mentions| x |names|) semantics; at web scale enable
+  ``cfg.candidate_prefilter`` to restrict the candidate set to the TF-IDF
+  index's top candidates (ensemble per SURVEY.md §4) instead of all terms.
+
+- ``syntactic_map_sql`` — for metrics expressible JVM-side (levenshtein via
+  ``F.levenshtein``, char-set jaccard via array ops): broadcast equi-free
+  crossJoin + native expression + window top-k. Whole-stage codegen, no
+  Python at all; also the DuckDB-oracle-parity plan.
+"""
+
+from __future__ import annotations
+
+import heapq
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ontology_mapper_spark.config import MappingConfig
+from ontology_mapper_spark.functions.metrics import METRICS
+from ontology_mapper_spark.operators.tfidf import (
+    CANDIDATE_SCHEMA,
+    _TargetIndex,
+    build_target_index,
+)
+
+
+def _terms_with_names(onto_labels: DataFrame) -> list[tuple[str, str, list[str]]]:
+    """[(iri, display_label, [names...])] sorted by iri (pinned tie order)."""
+    rows = (
+        onto_labels.groupBy("iri", "display_label")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("is_synonym", "name"))
+            ).alias("names")
+        )
+        .orderBy("iri")
+        .collect()
+    )
+    return [
+        (r["iri"], r["display_label"], [n["name"] for n in r["names"]]) for r in rows
+    ]
+
+
+def syntactic_map_broadcast(
+    mentions: DataFrame, onto_labels: DataFrame, cfg: MappingConfig
+) -> DataFrame:
+    if cfg.mapper not in METRICS:
+        raise ValueError(f"Unsupported syntactic mapper: {cfg.mapper}")
+    spark = mentions.sparkSession
+    terms = _terms_with_names(onto_labels)
+    b_terms = spark.sparkContext.broadcast(terms)
+    metric_name = cfg.mapper
+    max_mappings = cfg.max_mappings
+
+    def score_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        metric = METRICS[metric_name]
+        tl = b_terms.value
+        memo: dict[str, list[tuple[float, int]]] = {}
+        for pdf in batches:
+            ids_o, terms_o, lbl_o, iri_o, sc_o = [], [], [], [], []
+            for sid, term in zip(pdf["source_term_id"], pdf["source_term"]):
+                top = memo.get(term)
+                if top is None:
+                    scored = []
+                    for k, (iri, display, names) in enumerate(tl):
+                        best = 0.0
+                        for name in names:
+                            s = metric(term, name)
+                            if s > best:
+                                best = s
+                        scored.append((-best, k))
+                    # top max_mappings by (score desc, iri asc)
+                    top = heapq.nsmallest(max_mappings, scored)
+                    memo[term] = top
+                for neg, k in top:
+                    iri, display, _ = tl[k]
+                    ids_o.append(sid)
+                    terms_o.append(term)
+                    lbl_o.append(display)
+                    iri_o.append(iri)
+                    sc_o.append(-neg)
+            yield pd.DataFrame(
+                {
+                    "source_term_id": ids_o,
+                    "source_term": terms_o,
+                    "mapped_term_label": lbl_o,
+                    "mapped_term_iri": iri_o,
+                    "mapping_score": sc_o,
+                }
+            )
+
+    return mentions.select("source_term_id", "source_term").mapInPandas(
+        score_batches, schema=CANDIDATE_SCHEMA
+    )
+
+
+def syntactic_map_sql(
+    mentions: DataFrame, onto_labels: DataFrame, cfg: MappingConfig
+) -> DataFrame:
+    """Native-expression plan for 'levenshtein' and 'jaccard'. The cross join
+    broadcasts the (small) label side; Catalyst keeps the whole metric in
+    codegen. Same output contract as the broadcast kernel."""
+    if cfg.mapper == "levenshtein":
+        sim = 1.0 - F.levenshtein(F.col("source_term"), F.col("name")) / F.greatest(
+            F.length("source_term"), F.length("name")
+        )
+        sim = F.when(
+            (F.length("source_term") == 0) & (F.length("name") == 0), F.lit(1.0)
+        ).otherwise(sim)
+    elif cfg.mapper == "jaccard":
+        chars_s = F.array_distinct(F.split(F.col("source_term"), ""))
+        chars_n = F.array_distinct(F.split(F.col("name"), ""))
+        inter = F.size(F.array_intersect(chars_s, chars_n))
+        union = F.size(F.array_union(chars_s, chars_n))
+        sim = F.when(union == 0, F.lit(1.0)).otherwise(inter / union)
+    else:
+        raise ValueError(f"No native-SQL plan for metric: {cfg.mapper}")
+
+    pairs = mentions.select("source_term_id", "source_term").crossJoin(
+        F.broadcast(onto_labels.select("iri", "display_label", "name"))
+    )
+    per_term = (
+        pairs.withColumn("sim", sim)
+        .groupBy("source_term_id", "source_term", "iri", "display_label")
+        .agg(F.max("sim").alias("mapping_score"))
+    )
+    w = Window.partitionBy("source_term_id").orderBy(
+        F.desc("mapping_score"), F.asc("iri")
+    )
+    return (
+        per_term.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= cfg.max_mappings)
+        .select(
+            "source_term_id",
+            "source_term",
+            F.col("display_label").alias("mapped_term_label"),
+            F.col("iri").alias("mapped_term_iri"),
+            "mapping_score",
+        )
+    )

@@ -1,0 +1,85 @@
+"""End-to-end mapping pipeline — the engine's ``map_terms``.
+
+The DataFrame-lazy equivalent of the reference lifecycle
+(``/root/reference/text2term/t2t.py:31-114``, SURVEY.md §3): parse source →
+load/filter ontology → ignore-filter → mapper dispatch → min_score →
+unmapped union → tags → rounding/CURIE. Everything stays a lazy Catalyst
+plan until the caller acts on it; the ontology side crosses driver→executor
+once, as a broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ontology_mapper_spark.config import Mapper, MappingConfig
+from ontology_mapper_spark.operators import postprocess as post
+from ontology_mapper_spark.operators.syntactic import syntactic_map_broadcast
+from ontology_mapper_spark.operators.tfidf import (
+    tfidf_map_broadcast,
+    tfidf_map_inverted_index,
+)
+from ontology_mapper_spark.sources import terms as term_src
+from ontology_mapper_spark.sources.ontology import filter_terms_df, onto_labels_df
+
+
+def map_terms_df(
+    mentions: DataFrame,
+    onto_terms: DataFrame,
+    cfg: MappingConfig | None = None,
+) -> DataFrame:
+    """mentions(source_term_id, source_term, tags) x onto_terms -> mappings
+    (source_term_id, source_term, mapped_term_label, mapped_term_curie,
+    mapped_term_iri, mapping_score, tags)."""
+    cfg = cfg or MappingConfig()
+    cfg.validate()
+    onto = filter_terms_df(
+        onto_terms, cfg.base_iris, cfg.excl_deprecated, cfg.term_type
+    )
+    labels = onto_labels_df(onto)
+
+    to_map = post.filter_ignored(mentions)
+    if cfg.mapper == Mapper.TFIDF:
+        impl = tfidf_map_inverted_index if cfg.use_inverted_index else tfidf_map_broadcast
+        candidates = impl(to_map, labels, cfg)
+    else:
+        candidates = syntactic_map_broadcast(to_map, labels, cfg)
+    mapped = post.filter_min_score(candidates, cfg.min_score)
+
+    if cfg.incl_unmapped:
+        with_tags = post.add_unmapped(mapped, mentions)
+    else:
+        with_tags = post.attach_tags_only(mapped, mentions)
+    return post.finalize(with_tags)
+
+
+def map_terms(
+    spark: SparkSession,
+    source_terms,
+    onto_terms: DataFrame,
+    cfg: MappingConfig | None = None,
+    source_terms_ids: list[str] | None = None,
+) -> DataFrame:
+    """Reference-shaped convenience API: accepts list[str] | dict[term->tags]
+    | DataFrame (``t2t.py:138-160`` input shapes)."""
+    if isinstance(source_terms, DataFrame):
+        mentions = source_terms
+    elif isinstance(source_terms, dict):
+        mentions = term_src.mentions_from_dict(spark, source_terms)
+    else:
+        mentions = term_src.mentions_from_list(
+            spark, list(source_terms), source_terms_ids
+        )
+    return map_terms_df(mentions, onto_terms, cfg)
+
+
+def mappings_to_triples(mappings: DataFrame) -> DataFrame:
+    """Materialize mapping triples (subj=source_term_id, pred='mappedTo',
+    obj=IRI) — SURVEY.md §1.3. Unmapped rows (empty IRI) carry no triple."""
+    return mappings.filter(F.col("mapped_term_iri") != "").select(
+        F.col("source_term_id").alias("subj"),
+        F.lit("mappedTo").alias("pred"),
+        F.col("mapped_term_iri").alias("obj"),
+        F.col("mapping_score").alias("score"),
+    )

@@ -133,14 +133,14 @@ def fixture_ontology_rows() -> list[dict]:
            parents={E + "0000270": "asthma"}, deprecated=True),
         _t(E + "0005951", ["obsolete bronchitis variant"], [],
            parents={E + "0009464": "bronchitis"}, deprecated=True),
-        # EFO properties
-        _t(E + "contains", ["contains"], [], term_type=OntologyTermType.PROPERTY),
-        _t(E + "location", ["location"], ["locus"],
+        # EFO properties (plain-fragment IRIs, like EFO's own annotation props)
+        _t(EFO + "contains", ["contains"], [], term_type=OntologyTermType.PROPERTY),
+        _t(EFO + "location", ["location"], ["locus"],
            term_type=OntologyTermType.PROPERTY),
-        _t(E + "disease_location", ["disease location"], ["site of disease"],
-           parents={E + "location": "location"},
+        _t(EFO + "disease_location", ["disease location"], ["site of disease"],
+           parents={EFO + "location": "location"},
            term_type=OntologyTermType.PROPERTY),
-        _t(E + "has_quality", ["has quality"], [],
+        _t(EFO + "has_quality", ["has quality"], [],
            term_type=OntologyTermType.PROPERTY),
         _t(OBO + "BFO_0000050", ["part of"], [],
            term_type=OntologyTermType.PROPERTY),

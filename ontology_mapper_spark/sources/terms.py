@@ -1,0 +1,216 @@
+"""Mention/source-term ingestion + preprocessing (SURVEY.md §2 S1/S2, F2-F4).
+
+The reference accepts lists, dicts (term -> tags), TaggedTerm lists, and
+txt/CSV files (``t2t.py:138-179``, ``onto_utils.py:112-135``); everything
+normalizes to ``mentions(source_term_id, source_term, tags array<string>)``.
+
+IDs: the reference synthesizes *random* shortuuid IRIs (``onto_utils.py:
+151-160``) — its own tests must drop the ID column to diff results
+(``test/simple_tests.py:237-240``). This engine pins deterministic IDs
+``http://ccb.hms.harvard.edu/t2t/R`` + md5(term '#' row_idx), required for
+resumable re-runs and P/R checking (SURVEY.md §1.1).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+BASE_IRI = "http://ccb.hms.harvard.edu/t2t/"
+
+MENTIONS_SCHEMA = T.StructType(
+    [
+        T.StructField("source_term_id", T.StringType(), False),
+        T.StructField("source_term", T.StringType(), False),
+        T.StructField("tags", T.ArrayType(T.StringType()), True),
+    ]
+)
+
+
+def deterministic_id(term: str, idx: int) -> str:
+    h = hashlib.md5(f"{term}#{idx}".encode()).hexdigest()[:16]
+    return f"{BASE_IRI}R{h}"
+
+
+def deterministic_id_col(term, idx) -> F.Column:
+    return F.concat(
+        F.lit(BASE_IRI + "R"),
+        F.substring(F.md5(F.concat_ws("#", term, idx.cast("string"))), 1, 16),
+    )
+
+
+def mentions_from_list(
+    spark: SparkSession, terms: list[str], ids: list[str] | None = None
+) -> DataFrame:
+    ids = ids or [deterministic_id(t, i) for i, t in enumerate(terms)]
+    return spark.createDataFrame(
+        [(i, t, None) for i, t in zip(ids, terms)], schema=MENTIONS_SCHEMA
+    )
+
+
+def mentions_from_dict(spark: SparkSession, tagged: dict) -> DataFrame:
+    """dict[term -> tag | list[tag] | None] (reference ``t2t.py:144-146``)."""
+    rows = []
+    for i, (term, tags) in enumerate(tagged.items()):
+        if tags is None:
+            tag_list = None
+        elif isinstance(tags, list):
+            tag_list = [str(t) for t in tags]
+        else:
+            tag_list = [str(tags)]
+        rows.append((deterministic_id(term, i), term, tag_list))
+    return spark.createDataFrame(rows, schema=MENTIONS_SCHEMA)
+
+
+def mentions_from_file(spark: SparkSession, path: str) -> DataFrame:
+    """S1 — newline term list via a distributed text scan
+    (reference ``onto_utils.py:112-116`` reads driver-side)."""
+    df = spark.read.text(path).select(F.col("value").alias("source_term"))
+    w_idx = F.monotonically_increasing_id()
+    return df.withColumn("idx", w_idx).select(
+        deterministic_id_col(F.col("source_term"), F.col("idx")).alias(
+            "source_term_id"
+        ),
+        "source_term",
+        F.lit(None).cast(T.ArrayType(T.StringType())).alias("tags"),
+    )
+
+
+def mentions_from_csv(
+    spark: SparkSession,
+    path: str,
+    term_column: str,
+    term_id_column: str = "",
+    separator: str = ",",
+) -> DataFrame:
+    """S2 — CSV/TSV scan with NA-row drop (reference ``onto_utils.py:
+    119-135``): rows null in the term or id column are dropped; a missing or
+    all-null id column falls back to generated IDs."""
+    df = spark.read.option("sep", separator).option("header", "true").csv(path)
+    if term_column not in df.columns:
+        raise ValueError(
+            "Could not find specified column name for input terms: " + term_column
+        )
+    has_ids = term_id_column and term_id_column in df.columns
+    if has_ids:
+        df = df.na.drop(subset=[term_column, term_id_column])
+        if df.filter(F.col(term_id_column).isNotNull()).limit(1).count() == 0:
+            has_ids = False
+    else:
+        df = df.na.drop(subset=[term_column])
+    df = df.withColumn("idx", F.monotonically_increasing_id())
+    id_col = (
+        F.col(term_id_column)
+        if has_ids
+        else deterministic_id_col(F.col(term_column), F.col("idx"))
+    )
+    return df.select(
+        id_col.alias("source_term_id"),
+        F.col(term_column).alias("source_term"),
+        F.lit(None).cast(T.ArrayType(T.StringType())).alias("tags"),
+    )
+
+
+def parse_tagged_terms_file(path: str, separator: str = ";:;") -> dict:
+    """The reference's ``term ;:; tag1,tag2`` file format
+    (``preprocess.py:8-20``), driver-side (these files are small)."""
+    out: dict[str, list[str] | None] = {}
+    with open(path) as f:
+        for line in f.read().splitlines():
+            parts = line.split(separator)
+            if len(parts) > 1:
+                out[parts[0]] = parts[1].split(",")
+            else:
+                out[line] = None
+    return out
+
+
+def preprocess_mentions(
+    mentions: DataFrame,
+    templates: list[str] | None = None,
+    template_tags: list[list[str]] | None = None,
+    blocklist: list[str] | None = None,
+    blocklist_char: str = "",
+    rem_duplicates: bool = False,
+) -> DataFrame:
+    """F2 template extract + F3 blocklist + F4 dedup (reference
+    ``preprocess.py:61-96,101-111,131-142``).
+
+    Semantics pinned: blocklist checked first (full match -> drop, or term
+    replaced by ``blocklist_char``); then the FIRST fully-matching template
+    wins and the term becomes the space-join of its capture groups; an
+    implicit final template ``(.*)`` passes everything else through; an
+    empty extraction drops the row. Python ``re`` dialect is part of the
+    contract, so matching runs in an Arrow-batched pandas UDF (broadcast
+    compiled patterns; no shuffle).
+    """
+    templates = list(templates or [])
+    template_tags = list(template_tags or [[] for _ in templates])
+    blocklist = list(blocklist or [])
+
+    result_schema = T.StructType(
+        mentions.schema.fields
+        + [
+            T.StructField("processed_term", T.StringType()),
+            T.StructField("extra_tags", T.ArrayType(T.StringType())),
+            T.StructField("keep", T.BooleanType()),
+        ]
+    )
+
+    def apply_templates(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tmpl = [re.compile(t) for t in templates] + [re.compile("(.*)")]
+        ttags = template_tags + [[]]
+        block = [re.compile(b) for b in blocklist]
+        for pdf in batches:
+            processed, extra, keep = [], [], []
+            for term in pdf["source_term"]:
+                blocked = False
+                for banned in block:
+                    if banned.fullmatch(term):
+                        blocked = True
+                        break
+                if blocked:
+                    processed.append(blocklist_char if blocklist_char else None)
+                    extra.append([])
+                    keep.append(bool(blocklist_char))
+                    continue
+                new_term, tags, ok = None, [], False
+                for tpl, tg in zip(tmpl, ttags):
+                    m = tpl.fullmatch(term)
+                    if m:
+                        combined = " ".join(map(str, m.groups()))
+                        if combined:
+                            new_term, tags, ok = combined, list(tg), True
+                        break
+                processed.append(new_term)
+                extra.append(tags)
+                keep.append(ok)
+            pdf = pdf.copy()
+            pdf["processed_term"] = processed
+            pdf["extra_tags"] = extra
+            pdf["keep"] = keep
+            yield pdf
+
+    out = (
+        mentions.mapInPandas(apply_templates, schema=result_schema)
+        .filter(F.col("keep"))
+        .select(
+            "source_term_id",
+            F.col("processed_term").alias("source_term"),
+            F.when(
+                F.size("extra_tags") > 0,
+                F.concat(F.coalesce("tags", F.array()), "extra_tags"),
+            )
+            .otherwise(F.col("tags"))
+            .alias("tags"),
+        )
+    )
+    if rem_duplicates:
+        out = out.dropDuplicates(["source_term"])
+    return out

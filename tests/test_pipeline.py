@@ -1,0 +1,180 @@
+"""End-to-end map_terms parity with the reference's test behaviors
+(``/root/reference/test/simple_tests.py``), on the deterministic fixture
+ontology. Each test names the reference case it mirrors.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ontology_mapper_spark.config import Mapper, MappingConfig
+from ontology_mapper_spark.pipeline import map_terms, map_terms_df, mappings_to_triples
+from ontology_mapper_spark.sources.ontology import fixture_onto_terms
+from ontology_mapper_spark.sources.terms import mentions_from_dict, mentions_from_list
+
+TERMS = ["asthma", "acute bronchitis", "colon disease", "carbon monoxide"]
+
+
+@pytest.fixture(scope="module")
+def onto(spark):
+    return fixture_onto_terms(spark).cache()
+
+
+@pytest.mark.spark
+def test_default_mapping_shape(spark, onto):
+    df = map_terms(spark, TERMS, onto).cache()
+    assert df.columns == [
+        "source_term_id",
+        "source_term",
+        "mapped_term_label",
+        "mapped_term_curie",
+        "mapped_term_iri",
+        "mapping_score",
+        "tags",
+    ]
+    rows = df.collect()
+    assert all(r["mapping_score"] >= 0.3 for r in rows)
+    by_term = {r["source_term"]: r for r in df.filter("mapping_score >= 0.9").collect()}
+    assert by_term["asthma"]["mapped_term_iri"].endswith("EFO_0000270")
+    assert by_term["asthma"]["mapped_term_curie"] == "EFO:0000270"
+    # unmapped term absent without incl_unmapped
+    assert df.filter(F.col("source_term") == "carbon monoxide").count() == 0
+    # per-term cap (simple_tests: max_mappings default 3)
+    counts = df.groupBy("source_term").count().collect()
+    assert all(r["count"] <= 3 for r in counts)
+
+
+@pytest.mark.spark
+def test_tags_and_ignore(spark, onto):
+    # mirrors simple_tests.py:94-104 (tagged terms, ignore filter)
+    tagged = {
+        "asthma": "disease",
+        "protein level": ["measurement", "protein"],
+        "margarita": ["ignore"],
+        "mojito": None,
+    }
+    cfg = MappingConfig(incl_unmapped=True)
+    df = map_terms(spark, tagged, onto, cfg).cache()
+    rows = {(r["source_term"], r["tags"]) for r in df.collect()}
+    asthma_tags = {t for s, t in rows if s == "asthma"}
+    assert asthma_tags == {"disease"}
+    protein_tags = {t for s, t in rows if s == "protein level"}
+    assert protein_tags == {"measurement,protein"}
+    # ignored term: present (unmapped row) but WITHOUT the unmapped tag
+    margarita = [t for s, t in rows if s == "margarita"]
+    assert margarita == ["ignore"]
+    # untagged unmapped term gets the unmapped tag
+    mojito = [t for s, t in rows if s == "mojito"]
+    assert mojito == ["unmapped"]
+    mojito_row = df.filter(F.col("source_term") == "mojito").collect()[0]
+    assert mojito_row["mapped_term_iri"] == ""
+    assert mojito_row["mapping_score"] == 0.0
+
+
+@pytest.mark.spark
+def test_unmapped_tag_all_unmapped(spark, onto):
+    # simple_tests.py:225-235 — all-unmapped input still yields rows
+    cfg = MappingConfig(incl_unmapped=True, min_score=0.99)
+    df = map_terms(spark, ["isdjfnsdfwd", "mojito"], onto, cfg)
+    rows = df.collect()
+    assert len(rows) == 2
+    assert all(r["tags"] == "unmapped" for r in rows)
+    assert all(r["mapped_term_curie"] == "" for r in rows)
+
+
+@pytest.mark.spark
+def test_min_score_filter_empty(spark, onto):
+    # simple_tests.py:218-223 — min_score ~1 with junk -> empty df
+    cfg = MappingConfig(min_score=0.99)
+    assert map_terms(spark, ["isdjfnsdfwd"], onto, cfg).count() == 0
+
+
+@pytest.mark.spark
+def test_untagged_list_tags_none_quirk(spark, onto):
+    # reference _add_tags_to_df: str(None) == "None" for untagged lists
+    df = map_terms(spark, ["asthma"], onto)
+    assert {r["tags"] for r in df.collect()} == {"None"}
+
+
+@pytest.mark.spark
+def test_property_mapping(spark, onto):
+    # simple_tests.py:117-136 — term_type='property'
+    cfg = MappingConfig(term_type="property", min_score=0.6)
+    df = map_terms(spark, ["contains", "disease location"], onto, cfg)
+    rows = sorted(df.collect(), key=lambda r: r["mapping_score"])  # best last
+    by_term = {r["source_term"]: r["mapped_term_iri"] for r in rows}
+    assert by_term["contains"].endswith("efo/contains")
+    assert by_term["disease location"].endswith("disease_location")
+    # class-typed targets must not appear
+    all_iris = [r["mapped_term_iri"] for r in df.collect()]
+    assert not any(i.endswith("EFO_0000408") for i in all_iris)
+
+
+@pytest.mark.spark
+def test_excl_deprecated(spark, onto):
+    cfg = MappingConfig(excl_deprecated=True, min_score=0.0, max_mappings=50)
+    df = map_terms(spark, ["obsolete asthma phenotype"], onto, cfg)
+    assert df.filter(F.col("mapped_term_iri").endswith("EFO_0005950")).count() == 0
+    cfg2 = MappingConfig(excl_deprecated=False)
+    df2 = map_terms(spark, ["obsolete asthma phenotype"], onto, cfg2)
+    assert df2.filter(F.col("mapped_term_iri").endswith("EFO_0005950")).count() == 1
+
+
+@pytest.mark.spark
+def test_base_iris_filter(spark, onto):
+    # simple_tests.py:184-196 — restrict to HP namespace
+    cfg = MappingConfig(base_iris=("http://purl.obolibrary.org/obo/HP",))
+    df = map_terms(spark, ["asthma", "allergy"], onto, cfg)
+    iris = [r["mapped_term_iri"] for r in df.collect()]
+    assert iris and all("obo/HP_" in i for i in iris)
+
+
+@pytest.mark.spark
+def test_mapper_dispatch_syntactic(spark, onto):
+    # simple_tests.py:77-84 — syntactic smoke via each metric
+    for mapper in (Mapper.LEVENSHTEIN, Mapper.JARO, Mapper.JACCARD, Mapper.FUZZY):
+        cfg = MappingConfig(mapper=mapper, min_score=0.8)
+        df = map_terms(spark, ["asthma"], onto, cfg)
+        rows = df.collect()
+        assert rows, mapper
+        assert rows[0]["mapped_term_iri"].endswith("EFO_0000270")
+        assert rows[0]["mapping_score"] >= 0.8
+
+
+@pytest.mark.spark
+def test_triples(spark, onto):
+    cfg = MappingConfig(incl_unmapped=True)
+    df = map_terms(spark, TERMS, onto, cfg)
+    triples = mappings_to_triples(df).collect()
+    assert all(t["pred"] == "mappedTo" for t in triples)
+    assert all(t["obj"].startswith("http") for t in triples)
+    # unmapped rows contribute no triples
+    assert not any(t["obj"] == "" for t in triples)
+
+
+@pytest.mark.spark
+def test_dataframe_input_with_duplicate_terms(spark, onto):
+    m = mentions_from_list(spark, ["asthma", "asthma", "allergy"])
+    df = map_terms_df(m, onto, MappingConfig(max_mappings=1))
+    rows = df.collect()
+    # each mention row keeps its own id; duplicates map identically
+    assert len({r["source_term_id"] for r in rows}) == 3
+    scores = {r["mapping_score"] for r in rows if r["source_term"] == "asthma"}
+    assert len(scores) == 1
+
+
+@pytest.mark.spark
+def test_cached_equals_fresh(spark, onto, tmp_path):
+    # simple_tests.py:54-75 — cache ≡ URL-loaded results
+    from ontology_mapper_spark.sources.ontology import (
+        read_ontology_cache,
+        write_ontology_cache,
+    )
+
+    path = str(tmp_path / "onto_cache")
+    write_ontology_cache(onto, path)
+    cached = read_ontology_cache(spark, path, term_type="any")
+    fresh = map_terms(spark, TERMS, onto, MappingConfig(term_type="any"))
+    from_cache = map_terms(spark, TERMS, cached, MappingConfig(term_type="any"))
+    a = sorted(map(tuple, fresh.collect()))
+    b = sorted(map(tuple, from_cache.collect()))
+    assert a == b
