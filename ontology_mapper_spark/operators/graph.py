@@ -1,0 +1,197 @@
+"""Graph / hierarchy operators (SURVEY.md §2 G1-G4, S10).
+
+Reference semantics (``/root/reference/text2term/term_graph_generator.py``,
+``term_graph.py``): per ontology term, the graph holds the term, ALL
+transitive ancestors (recursion only continues through ancestors present in
+the term dictionary — missing/filtered parents terminate a path but their
+edge is still emitted), direct children (IS_A) and direct instances
+(INSTANCE_OF). Node labels come from the parents/children map values, with
+IRI-fragment fallback.
+
+Spark design: one global edge DataFrame; the ancestor closure is an
+iterative frontier self-join to fixpoint with ``localCheckpoint`` per round
+to cut lineage (SURVEY.md §4) — no GraphFrames dependency. Depth is bounded
+by the ontology DAG height (tens), not data size; each round is one
+broadcast-able join on the (small) edge dimension.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ontology_mapper_spark.functions.curie import label_from_iri_col
+
+IS_A = "IS_A"
+INSTANCE_OF = "INSTANCE_OF"
+
+
+def hierarchy_edges(onto_terms: DataFrame) -> DataFrame:
+    """G2 — global edges(src, dst, label, dst_label):
+    child --IS_A--> parent, instance --INSTANCE_OF--> class.
+    ``dst_label`` keeps the reference's label provenance (map values)."""
+    parents = onto_terms.select(
+        F.col("iri").alias("src"),
+        F.explode("parents").alias("dst", "dst_label"),
+        F.lit(IS_A).alias("label"),
+    )
+    instances = (
+        onto_terms.select(
+            F.col("iri").alias("dst"),
+            F.col("labels")[0].alias("dst_label"),
+            F.explode("instances").alias("src", "src_label"),
+        )
+        .select("src", "dst", F.lit(INSTANCE_OF).alias("label"), "dst_label")
+    )
+    return parents.select("src", "dst", "label", "dst_label").unionByName(instances)
+
+
+def ancestor_closure(
+    onto_terms: DataFrame, max_iterations: int = 50
+) -> DataFrame:
+    """G1 — (term, ancestor) transitive closure over IS_A edges.
+
+    Reference recursion (``term_graph_generator.py:29-38``) only walks
+    through ancestors present in the collection; edges here originate from
+    retained terms only, so paths stop at filtered-out nodes exactly like
+    the reference. Cycle-safe: the frontier is anti-joined against the
+    accumulated closure, so revisits are dropped and the loop reaches a
+    fixpoint even on cyclic inputs (the reference would recurse forever).
+    """
+    edges = (
+        onto_terms.select(F.col("iri").alias("term"), F.explode("parents"))
+        .select("term", F.col("key").alias("anc"))
+        .localCheckpoint()
+    )
+    hop = edges.select(F.col("term").alias("mid"), F.col("anc").alias("next_anc"))
+    closure = edges
+    frontier = edges
+    for _ in range(max_iterations):
+        step = (
+            frontier.select("term", F.col("anc").alias("mid"))
+            .join(hop, "mid")
+            .select("term", F.col("next_anc").alias("anc"))
+            .distinct()
+        )
+        new = step.join(closure, ["term", "anc"], "left_anti").localCheckpoint()
+        if new.isEmpty():
+            break
+        closure = closure.unionByName(new).localCheckpoint()
+        frontier = new
+    else:
+        raise RuntimeError(
+            f"ancestor_closure did not converge in {max_iterations} iterations"
+        )
+    return closure
+
+
+def term_graph_nodes_edges(onto_terms: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """G4 prep — per-term graph member nodes and edges, as flat DataFrames
+    keyed by ``graph_iri``. Node labels resolve as: relation-map value, else
+    own labels[0], else IRI fragment (``term_graph_generator.py:51-64``)."""
+    terms = onto_terms.select(
+        "iri", F.col("labels")[0].alias("display_label"), "parents", "children",
+        "instances",
+    ).cache()
+    closure = ancestor_closure(onto_terms)
+    # member set per graph: the term itself + all ancestors
+    members = (
+        terms.select(F.col("iri").alias("graph_iri"), F.col("iri").alias("member"))
+        .unionByName(
+            closure.select(
+                F.col("term").alias("graph_iri"), F.col("anc").alias("member")
+            )
+        )
+        .distinct()
+    )
+    # edges: every parent edge of a member that is a retained term
+    parent_edges = terms.select(
+        F.col("iri").alias("src"), F.explode("parents").alias("dst", "dst_label")
+    )
+    graph_edges = (
+        members.join(parent_edges, members.member == parent_edges.src)
+        .select("graph_iri", "src", "dst", F.lit(IS_A).alias("label"))
+    )
+    child_edges = terms.select(
+        F.col("iri").alias("graph_iri"),
+        F.explode("children").alias("child", "child_label"),
+    ).select(
+        "graph_iri",
+        F.col("child").alias("src"),
+        F.col("graph_iri").alias("dst"),
+        F.lit(IS_A).alias("label"),
+    )
+    inst_edges = terms.select(
+        F.col("iri").alias("graph_iri"),
+        F.explode("instances").alias("inst", "inst_label"),
+    ).select(
+        "graph_iri",
+        F.col("inst").alias("src"),
+        F.col("graph_iri").alias("dst"),
+        F.lit(INSTANCE_OF).alias("label"),
+    )
+    all_edges = graph_edges.unionByName(child_edges).unionByName(inst_edges).distinct()
+
+    # nodes: self + every relation-map entry of members (+children/instances)
+    own = terms.select(
+        F.col("iri").alias("graph_iri"),
+        F.col("iri").alias("node_id"),
+        F.col("display_label").alias("node_label"),
+    )
+    # children/instances only expand from the graph root, not from ancestors
+    rel_root = []
+    for rel in ("children", "instances"):
+        rel_root.append(
+            terms.select(
+                F.col("iri").alias("graph_iri"),
+                F.explode(rel).alias("node_id", "node_label"),
+            )
+        )
+    anc_parent_nodes = (
+        members.join(terms, members.member == terms.iri)
+        .select("graph_iri", F.explode("parents").alias("node_id", "node_label"))
+    )
+    nodes = own.unionByName(anc_parent_nodes)
+    for df in rel_root:
+        nodes = nodes.unionByName(df)
+    nodes = nodes.withColumn(
+        "node_label",
+        F.when(
+            F.col("node_label").isNull() | (F.col("node_label") == ""),
+            label_from_iri_col(F.col("node_id")),
+        ).otherwise(F.col("node_label")),
+    ).dropDuplicates(["graph_iri", "node_id"])
+    return nodes, all_edges
+
+
+def term_graphs_json(onto_terms: DataFrame) -> DataFrame:
+    """S10 — one JSON document per term graph, vis.js-shaped
+    (``term_graph.py:26-53``): {iri, nodes:[{id,label}], edges:[{from,to,label}]}.
+    Sink with ``df.write.json`` or ``.text`` for byte-stable output."""
+    nodes, edges = term_graph_nodes_edges(onto_terms)
+    n_agg = nodes.groupBy("graph_iri").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(F.col("node_id").alias("id"), F.col("node_label").alias("label"))
+            )
+        ).alias("nodes")
+    )
+    e_agg = edges.groupBy("graph_iri").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("src").alias("from"),
+                    F.col("dst").alias("to"),
+                    F.col("label").alias("label"),
+                )
+            )
+        ).alias("edges")
+    )
+    return (
+        n_agg.join(e_agg, "graph_iri", "left")
+        .select(
+            F.col("graph_iri").alias("iri"),
+            "nodes",
+            F.coalesce("edges", F.array()).alias("edges"),
+        )
+    )
