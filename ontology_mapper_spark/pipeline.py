@@ -74,6 +74,29 @@ def map_terms(
     return map_terms_df(mentions, onto_terms, cfg)
 
 
+def construct_kg(
+    pages: DataFrame,
+    onto_terms: DataFrame,
+    cfg: MappingConfig | None = None,
+    langs: tuple = ("en",),
+    reextract: bool = False,
+) -> DataFrame:
+    """Full KG-construction flow (north_star): pages → (optional re-)extract
+    → mention detection → entity linking → mapping triples. Hierarchy edges
+    come from ``operators.graph.hierarchy_edges`` and are unioned by the
+    caller (they are ontology-side, computed once per ontology snapshot,
+    not per page batch)."""
+    from ontology_mapper_spark.sources.pages import detect_mentions, extract_text
+
+    if reextract:
+        pages = extract_text(pages)
+    mentions = detect_mentions(pages, langs=langs)
+    mappings = map_terms_df(
+        mentions.select("source_term_id", "source_term", "tags"), onto_terms, cfg
+    )
+    return mappings_to_triples(mappings)
+
+
 def mappings_to_triples(mappings: DataFrame) -> DataFrame:
     """Materialize mapping triples (subj=source_term_id, pred='mappedTo',
     obj=IRI) — SURVEY.md §1.3. Unmapped rows (empty IRI) carry no triple."""

@@ -1,0 +1,141 @@
+"""Output sinks (SURVEY.md §2 S9/S10).
+
+``write_mappings_csv`` replays the reference's CSV format
+(``/root/reference/text2term/t2t.py:326-347``): 11 ``#`` metadata lines
+(timestamp, ontology, version, min_score, mapper, base IRIs, max mappings,
+term type, deprecated/unmapped inclusion, coverage counts) followed by the
+7-column CSV. Coverage counts are distributed ``countDistinct`` aggregates.
+
+The single-file variant exists for format parity / small outputs; at scale
+use ``write_mappings_partitioned`` (parquet, bucketed by source id hash)
+plus the sidecar ``_metadata.json``.
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ontology_mapper_spark.config import OUTPUT_COLUMNS, MappingConfig
+
+VERSION = "0.1.0"
+
+_RENAME = {
+    "source_term_id": "Source Term ID",
+    "source_term": "Source Term",
+    "mapped_term_label": "Mapped Term Label",
+    "mapped_term_curie": "Mapped Term CURIE",
+    "mapped_term_iri": "Mapped Term IRI",
+    "mapping_score": "Mapping Score",
+    "tags": "Tags",
+}
+
+# the reference's actual column order comes from TermMapping.to_dict
+# (term_mapping.py:48-56) + the appended Tags column: ID first.
+CSV_ORDER = [
+    "Source Term ID",
+    "Source Term",
+    "Mapped Term Label",
+    "Mapped Term CURIE",
+    "Mapped Term IRI",
+    "Mapping Score",
+    "Tags",
+]
+
+
+def to_reference_columns(mappings: DataFrame) -> DataFrame:
+    out = mappings
+    for a, b in _RENAME.items():
+        out = out.withColumnRenamed(a, b)
+    return out.select(*CSV_ORDER)
+
+
+def _coverage(mappings: DataFrame) -> tuple[int, int]:
+    row = mappings.agg(
+        F.countDistinct("source_term_id").alias("ids"),
+        F.countDistinct("mapped_term_iri").alias("iris"),
+    ).collect()[0]
+    return row["ids"], row["iris"]
+
+
+def _metadata_lines(
+    cfg: MappingConfig, target_ontology: str, n_source_terms: int,
+    unique_ids: int, unique_iris: int,
+) -> list[str]:
+    return [
+        f"# Timestamp: {datetime.datetime.now()}",
+        f"# Target Ontology: {target_ontology}",
+        f"# ontology-mapper-spark version: {VERSION}",
+        f"# Minimum Score: {cfg.min_score:.2f}",
+        f"# Mapper: {cfg.mapper}",
+        f"# Base IRIs: {tuple(cfg.base_iris)}",
+        f"# Max Mappings: {cfg.max_mappings}",
+        f"# Term Type: {cfg.term_type}",
+        "# Deprecated Terms "
+        + ("Excluded" if cfg.excl_deprecated else "Included"),
+        "# Unmapped Terms "
+        + ("Excluded" if not cfg.incl_unmapped else "Included"),
+        f"# Of {n_source_terms} entries, {unique_ids} were mapped to"
+        f" {unique_iris} unique terms",
+    ]
+
+
+def write_mappings_csv(
+    mappings: DataFrame,
+    path: str,
+    cfg: MappingConfig,
+    target_ontology: str,
+    n_source_terms: int,
+) -> None:
+    """Single-file reference-format CSV (small outputs / parity checks)."""
+    ids, iris = _coverage(mappings)
+    pdf = to_reference_columns(mappings).toPandas()
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "a") as f:
+        for line in _metadata_lines(cfg, target_ontology, n_source_terms, ids, iris):
+            f.write(line + "\n")
+    pdf.to_csv(path, index=False, mode="a")
+
+
+def write_mappings_partitioned(
+    mappings: DataFrame,
+    out_dir: str,
+    cfg: MappingConfig,
+    target_ontology: str,
+    n_source_terms: int,
+    n_buckets: int = 64,
+) -> None:
+    """Scale sink: parquet partitioned by id-hash bucket + JSON metadata
+    sidecar. Iceberg-ready (swap for writeTo(...).using('iceberg'))."""
+    ids, iris = _coverage(mappings)
+    (
+        mappings.withColumn(
+            "bucket", F.pmod(F.xxhash64("source_term_id"), F.lit(n_buckets))
+        )
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(os.path.join(out_dir, "mappings"))
+    )
+    meta = {
+        "timestamp": datetime.datetime.now().isoformat(),
+        "target_ontology": target_ontology,
+        "version": VERSION,
+        "min_score": cfg.min_score,
+        "mapper": cfg.mapper,
+        "base_iris": list(cfg.base_iris),
+        "max_mappings": cfg.max_mappings,
+        "term_type": cfg.term_type,
+        "excl_deprecated": cfg.excl_deprecated,
+        "incl_unmapped": cfg.incl_unmapped,
+        "n_source_terms": n_source_terms,
+        "unique_source_ids_mapped": ids,
+        "unique_target_iris": iris,
+        "output_columns": OUTPUT_COLUMNS,
+    }
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "_metadata.json"), "w") as f:
+        json.dump(meta, f, indent=2)

@@ -1,0 +1,139 @@
+"""Pages source, frozen extractor, mention detection, KG construction,
+checkpoint/resume, sinks."""
+
+import hashlib
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ontology_mapper_spark.checkpoints import CheckpointedRun
+from ontology_mapper_spark.config import MappingConfig
+from ontology_mapper_spark.pipeline import construct_kg, map_terms_df, mappings_to_triples
+from ontology_mapper_spark.sinks import write_mappings_csv
+from ontology_mapper_spark.sources.ontology import fixture_onto_terms
+from ontology_mapper_spark.sources.pages import (
+    detect_mentions,
+    extract_text,
+    extract_text_py,
+    page_rows,
+    render_html,
+    synthesize_pages,
+)
+
+
+@pytest.fixture(scope="module")
+def onto(spark):
+    return fixture_onto_terms(spark).cache()
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return synthesize_pages(spark, 200).cache()
+
+
+def test_extractor_frozen():
+    html = render_html("T", ["asthma", "food allergy"])
+    assert extract_text_py(html) == "T\nasthma\nfood allergy"
+    # byte-stable golden hash — the frozen-extractor contract (north_rule)
+    h = hashlib.md5(extract_text_py(html).encode()).hexdigest()
+    assert h == hashlib.md5(b"T\nasthma\nfood allergy").hexdigest()
+
+
+@pytest.mark.spark
+def test_synthesized_pages_deterministic(spark, pages):
+    rows = {r["url"]: r for r in pages.collect()}
+    for i, (url, ts, html, text, lang) in enumerate(page_rows(200)):
+        r = rows[url]
+        assert bytes(r["html"]) == html, url
+        assert r["text"] == text, url
+        assert r["lang"] == lang
+    # text column == frozen extraction of html, byte-identical per url
+    re_ex = extract_text(pages.drop("text"))
+    diff = (
+        re_ex.alias("a")
+        .join(pages.alias("b"), "url")
+        .filter(F.col("a.text") != F.col("b.text"))
+        .count()
+    )
+    assert diff == 0
+
+
+@pytest.mark.spark
+def test_detect_mentions(spark, pages):
+    m = detect_mentions(pages).cache()
+    assert m.columns == ["source_term_id", "source_term", "tags", "url", "warc_ts"]
+    n_en = pages.filter("lang = 'en'").count()
+    assert m.count() == n_en * 4  # 4 paragraphs per page
+    # deterministic ids: url#ordinal, unique
+    assert m.select("source_term_id").distinct().count() == m.count()
+    some = m.filter(F.col("source_term_id").endswith("page0#0")).collect()
+    assert len(some) == 1
+
+
+@pytest.mark.spark
+def test_construct_kg_end_to_end(spark, pages, onto):
+    triples = construct_kg(pages, onto, MappingConfig(max_mappings=1)).cache()
+    rows = triples.collect()
+    assert rows
+    assert all(r["pred"] == "mappedTo" for r in rows)
+    # every asthma mention links to EFO asthma
+    asthma = [r for r in rows if r["subj"].endswith("#0")]
+    m = detect_mentions(pages).filter("source_term = 'asthma'").collect()
+    linked = {r["subj"] for r in rows}
+    for mention in m:
+        assert mention["source_term_id"] in linked
+
+
+@pytest.mark.spark
+def test_checkpointed_run_resume(spark, pages, onto, tmp_path):
+    out1 = str(tmp_path / "full")
+    out2 = str(tmp_path / "resumed")
+    cfg = MappingConfig(max_mappings=1)
+
+    def build(subset):
+        return construct_kg(subset, onto, cfg)
+
+    full = CheckpointedRun(spark, out1, n_buckets=4, input_snapshot="s1")
+    res_full = full.run(pages, "url", build).collect()
+
+    # simulate a crash after 2 buckets: run only buckets {0,1} then resume
+    partial = CheckpointedRun(spark, out2, n_buckets=4, input_snapshot="s1")
+    done_early = []
+
+    def build_crashing(subset):
+        if len(done_early) == 2:
+            raise RuntimeError("simulated crash")
+        done_early.append(1)
+        return build(subset)
+
+    with pytest.raises(RuntimeError):
+        partial.run(pages, "url", build_crashing)
+    assert partial.completed_buckets() == {0, 1}
+    resumed = CheckpointedRun(spark, out2, n_buckets=4, input_snapshot="s1")
+    res_resumed = resumed.run(pages, "url", build).collect()
+
+    assert sorted(map(tuple, res_full)) == sorted(map(tuple, res_resumed))
+    # lineage has one row per bucket
+    lin = spark.read.parquet(os.path.join(out2, "_lineage"))
+    assert lin.count() == 4
+    # score metrics written
+    met = spark.read.parquet(os.path.join(out2, "_metrics"))
+    assert met.agg(F.sum("n")).collect()[0][0] == len(res_resumed)
+
+
+@pytest.mark.spark
+def test_csv_sink_format(spark, onto, tmp_path):
+    from ontology_mapper_spark.pipeline import map_terms
+
+    cfg = MappingConfig(incl_unmapped=True)
+    df = map_terms(spark, ["asthma", "mojito"], onto, cfg)
+    path = str(tmp_path / "out.csv")
+    write_mappings_csv(df, path, cfg, "fixture-efo-hp", 2)
+    with open(path) as f:
+        lines = f.read().splitlines()
+    assert len([l for l in lines if l.startswith("#")]) == 11
+    header = [l for l in lines if l.startswith("Source Term ID")][0]
+    assert header.split(",")[:3] == ["Source Term ID", "Source Term",
+                                     "Mapped Term Label"]
+    assert any("were mapped to" in l for l in lines)
