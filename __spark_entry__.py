@@ -1,38 +1,654 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes the engine's operators (SURVEY.md §2) over the
+driver-provided parquet tables; ``oracle_sql()`` gives the DuckDB-equivalent
+SQL for every SQL-expressible one. Mapping queries use the inline demo
+ontology (``ontology_mapper_spark/sources/demo_ontology.py``) rendered
+identically on both sides; fixture-ontology queries inline the fixture rows
+as VALUES the same way. Engine-only entries (pages KG flow, LSH ANN,
+multimodal plumbing) omit the oracle -> rows-only check.
+
+Scores cross engines are emitted as ``score_milli`` ints (round(x*1000)) or
+6-dp-rounded doubles so IEEE sum-order differences cannot flip value hashes.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+from pyspark.sql import Window  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from ontology_mapper_spark.config import MappingConfig  # noqa: E402
+from ontology_mapper_spark.operators import dedup as dd  # noqa: E402
+from ontology_mapper_spark.operators import textstats as ts  # noqa: E402
+from ontology_mapper_spark.operators.graph import (  # noqa: E402
+    ancestor_closure,
+    hierarchy_edges,
+)
+from ontology_mapper_spark.operators.similarity import (  # noqa: E402
+    cosine_topk,
+    lsh_cosine_topk,
+)
+from ontology_mapper_spark.operators.syntactic import syntactic_map_sql  # noqa: E402
+from ontology_mapper_spark.operators.tfidf import tfidf_map_broadcast  # noqa: E402
+from ontology_mapper_spark.sources.demo_ontology import (  # noqa: E402
+    demo_onto_labels,
+    demo_onto_values_sql,
+)
+from ontology_mapper_spark.sources.ontology import (  # noqa: E402
+    fixture_onto_terms,
+    fixture_ontology_rows,
+)
+from ontology_mapper_spark.text.normalize import (  # noqa: E402
+    _ACTIVE_STOP_WORDS,
+    normalize_col,
+)
+
+DEFAULT_SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One mention per document: its first three words (deterministic)."""
+    return _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("source_term_id"),
+        F.array_join(F.slice(F.split("text", " "), 1, 3), " ").alias("source_term"),
+    )
+
+
+def _score_milli(df: DataFrame, col: str = "mapping_score") -> DataFrame:
+    return df.withColumn("score_milli", F.round(F.col(col) * 1000).cast("int")).drop(
+        col
+    )
+
+
+def _flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cfg = MappingConfig(min_score=0.3, max_mappings=3)
+    out = tfidf_map_broadcast(
+        _mentions(spark, sf_dir), demo_onto_labels(spark), cfg
+    )
+    return _score_milli(out).select(
+        "source_term_id", "source_term", "mapped_term_label", "mapped_term_iri",
+        "score_milli",
+    )
+
+
+# ---------------------------------------------------------------- entry
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: TF-IDF entity linking of document mentions against the
+    demo ontology (broadcast scale path) at sf0.001."""
+    return _flagship(spark, DEFAULT_SF)
+
+
+# ---------------------------------------------------------------- queries
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q["tfidf_topk"] = _flagship
+
+    def normalize_mentions(spark, sf):
+        m = _mentions(spark, sf)
+        return m.select(
+            "source_term_id",
+            "source_term",
+            normalize_col(F.col("source_term")).alias("norm"),
+        )
+
+    q["normalize_mentions"] = normalize_mentions
+
+    def ngram_df(spark, sf):
+        from ontology_mapper_spark.text.normalize import char_wb_ngrams_col
+
+        m = normalize_mentions(spark, sf)
+        return (
+            m.select(
+                F.explode(
+                    F.array_distinct(char_wb_ngrams_col(F.col("norm")))
+                ).alias("ngram")
+            )
+            .groupBy("ngram")
+            .agg(F.count(F.lit(1)).alias("df"))
+        )
+
+    q["ngram_doc_freq"] = ngram_df
+
+    def synt(metric):
+        def run(spark, sf):
+            cfg = MappingConfig(mapper=metric, max_mappings=3)
+            out = syntactic_map_sql(
+                _mentions(spark, sf), demo_onto_labels(spark), cfg
+            )
+            return _score_milli(out).select(
+                "source_term_id", "source_term", "mapped_term_iri", "score_milli"
+            )
+
+        return run
+
+    q["syntactic_levenshtein"] = synt("levenshtein")
+    q["syntactic_jaccard"] = synt("jaccard")
+
+    def unmapped_terms(spark, sf):
+        # higher threshold so the anti-join path is non-trivially exercised
+        cfg = MappingConfig(min_score=0.7, max_mappings=3)
+        mapped = (
+            tfidf_map_broadcast(_mentions(spark, sf), demo_onto_labels(spark), cfg)
+            .select("source_term")
+            .distinct()
+        )
+        return _mentions(spark, sf).join(mapped, "source_term", "left_anti").select(
+            "source_term_id", "source_term"
+        )
+
+    q["unmapped_terms"] = unmapped_terms
+
+    def coverage_stats(spark, sf):
+        m = _flagship(spark, sf)
+        return m.agg(
+            F.countDistinct("source_term_id").alias("n_ids"),
+            F.countDistinct("mapped_term_iri").alias("n_iris"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+
+    q["coverage_stats"] = coverage_stats
+
+    q["exact_dedup"] = lambda spark, sf: dd.exact_dedup_groups(_docs(spark, sf))
+
+    q["ngram_jaccard_neardup"] = lambda spark, sf: (
+        dd.ngram_jaccard_pairs(_docs(spark, sf), k=3, threshold=0.05)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+    def minhash_sigs(spark, sf):
+        s = dd.minhash_signatures(_docs(spark, sf), num_hashes=16, k=3)
+        return s.select("doc", F.array_join("sig", "|").alias("sig"))
+
+    q["minhash_signatures"] = minhash_sigs
+
+    q["minhash_lsh_pairs"] = lambda spark, sf: dd.minhash_lsh_candidates(
+        _docs(spark, sf), num_hashes=16, bands=4, k=3
+    )
+
+    q["simhash"] = lambda spark, sf: dd.simhash_profile(_docs(spark, sf), bits=32)
+
+    q["token_stats"] = lambda spark, sf: ts.token_stats(_docs(spark, sf))
+    q["quality_score"] = lambda spark, sf: ts.quality_score(_docs(spark, sf))
+    q["lang_id"] = lambda spark, sf: ts.lang_id(_docs(spark, sf))
+    q["doc_fingerprint"] = lambda spark, sf: ts.doc_fingerprint(_docs(spark, sf))
+
+    def emb_topk(spark, sf):
+        e = _emb(spark, sf)
+        queries_df = e.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        out = cosine_topk(e, queries_df, k=5)
+        return out.select(
+            "query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rk"
+        )
+
+    q["embedding_topk"] = emb_topk
+
+    def closure(spark, sf):
+        return ancestor_closure(fixture_onto_terms(spark))
+
+    q["ancestor_closure"] = closure
+
+    def hedges(spark, sf):
+        return hierarchy_edges(fixture_onto_terms(spark)).select(
+            "src", "dst", "label"
+        )
+
+    q["hierarchy_edges"] = hedges
+
+    def topk_per_group(spark, sf):
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        w = Window.partitionBy("l_orderkey").orderBy(
+            F.desc("l_extendedprice"), F.asc("l_linenumber")
+        )
+        return (
+            li.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 3)
+            .select("l_orderkey", "l_linenumber", "l_extendedprice", "rk")
+        )
+
+    q["topk_per_group"] = topk_per_group
+
+    def broadcast_dim_join(spark, sf):
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        p = spark.read.parquet(f"{sf}/part.parquet")
+        return (
+            li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .groupBy(F.col("p_brand").alias("brand"))
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                ).alias("revenue"),
+            )
+        )
+
+    q["broadcast_dim_join"] = broadcast_dim_join
+
+    # ---------------- engine-only (no SQL oracle -> rows-only check)
+
+    def kg_pages_triples(spark, sf):
+        from ontology_mapper_spark.pipeline import construct_kg
+        from ontology_mapper_spark.sources.pages import synthesize_pages
+
+        pages = synthesize_pages(spark, 300)
+        return construct_kg(
+            pages, fixture_onto_terms(spark), MappingConfig(max_mappings=1)
+        )
+
+    q["kg_pages_triples"] = kg_pages_triples
+
+    def lsh_ann_topk(spark, sf):
+        e = _emb(spark, sf)
+        queries_df = e.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        out = lsh_cosine_topk(e, queries_df, k=5, dim=64)
+        return out.select(
+            "query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rk"
+        )
+
+    q["lsh_ann_topk"] = lsh_ann_topk
+
+    def multimodal_decode(spark, sf):
+        from ontology_mapper_spark.operators.multimodal import decode_image_features
+        from ontology_mapper_spark.sources.pages import synthesize_pages
+
+        media = synthesize_pages(spark, 100).select(
+            F.col("url").alias("media_id"), F.col("html").alias("content")
+        )
+        return decode_image_features(media)
+
+    q["multimodal_decode"] = multimodal_decode
+
+    return q
+
+
+# ---------------------------------------------------------------- oracle SQL
+
+
+_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in _ACTIVE_STOP_WORDS) + "]"
+
+
+def _norm_sql(col: str) -> str:
+    return (
+        "array_to_string(list_filter(string_split_regex(trim("
+        f"replace(lower(regexp_replace({col}, '\\W', ' ', 'g')), '_', ' ')"
+        "), '\\s+'), x -> x <> '' AND NOT list_contains("
+        + _STOP_SQL
+        + ", x)), ' ')"
+    )
+
+
+_MENTIONS_CTE = """mentions AS (
+  SELECT CAST(doc_id AS VARCHAR) AS source_term_id,
+         array_to_string((string_split(text, ' '))[1:3], ' ') AS source_term
+  FROM documents
+)"""
+
+_WORDS_CTE = """words AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '),
+                     x -> x <> '') AS ws,
+         text
+  FROM documents
+)"""
+
+_SHINGLES_CTE = (
+    _WORDS_CTE
+    + """,
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS s
+  FROM words, LATERAL unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS g(i)
+)"""
+)
+
+
+def _tfidf_cte(min_score: float = 0.3, max_mappings: int = 3, ntop: int = 50) -> str:
+    return f"""WITH {_MENTIONS_CTE},
+m_norm AS (
+  SELECT source_term_id, source_term, {_norm_sql('source_term')} AS norm FROM mentions
+),
+src_ng AS (
+  SELECT source_term_id, substring(' ' || word || ' ', i, 3) AS ngram
+  FROM m_norm,
+       LATERAL unnest(string_split(norm, ' ')) AS w(word),
+       LATERAL unnest(generate_series(1, length(word))) AS g(i)
+  WHERE word <> ''
+),
+src_tf AS (SELECT source_term_id, ngram, count(*)::DOUBLE AS tf FROM src_ng GROUP BY 1, 2),
+src_idf AS (
+  SELECT ngram, ln((1 + (SELECT count(*) FROM mentions)::DOUBLE) / (1 + count(*))) + 1 AS idf
+  FROM src_tf GROUP BY ngram
+),
+src_w AS (SELECT t.source_term_id, t.ngram, t.tf * i.idf AS w FROM src_tf t JOIN src_idf i USING (ngram)),
+src_nrm AS (SELECT source_term_id, sqrt(sum(w * w)) AS nrm FROM src_w GROUP BY 1),
+src_vec AS (
+  SELECT w.source_term_id, w.ngram, w.w / n.nrm AS ws
+  FROM src_w w JOIN src_nrm n USING (source_term_id)
+),
+{demo_onto_values_sql()},
+lbl AS (
+  SELECT iri, name, display_label,
+         row_number() OVER (ORDER BY iri, is_synonym, name) - 1 AS label_id
+  FROM onto
+),
+tgt_ng AS (
+  SELECT label_id, iri, display_label, substring(' ' || word || ' ', i, 3) AS ngram
+  FROM lbl,
+       LATERAL unnest(string_split(lower(name), ' ')) AS w(word),
+       LATERAL unnest(generate_series(1, length(word))) AS g(i)
+  WHERE word <> ''
+),
+tgt_tf AS (
+  SELECT label_id, iri, display_label, ngram, count(*)::DOUBLE AS tf
+  FROM tgt_ng GROUP BY 1, 2, 3, 4
+),
+tgt_idf AS (
+  SELECT ngram, ln((1 + (SELECT count(*) FROM lbl)::DOUBLE) / (1 + count(*))) + 1 AS idf
+  FROM tgt_tf GROUP BY ngram
+),
+tgt_w AS (
+  SELECT t.label_id, t.iri, t.display_label, t.ngram, t.tf * i.idf AS w
+  FROM tgt_tf t JOIN tgt_idf i USING (ngram)
+),
+tgt_nrm AS (SELECT label_id, sqrt(sum(w * w)) AS nrm FROM tgt_w GROUP BY 1),
+tgt_vec AS (
+  SELECT w.label_id, w.iri, w.display_label, w.ngram, w.w / n.nrm AS wt
+  FROM tgt_w w JOIN tgt_nrm n USING (label_id)
+),
+scored AS (
+  SELECT s.source_term_id, m.source_term, t.label_id, t.iri, t.display_label,
+         sum(s.ws * t.wt) AS score
+  FROM src_vec s JOIN tgt_vec t USING (ngram) JOIN mentions m USING (source_term_id)
+  GROUP BY 1, 2, 3, 4, 5
+  HAVING sum(s.ws * t.wt) >= {min_score}
+),
+topn AS (
+  SELECT *, row_number() OVER (PARTITION BY source_term_id ORDER BY score DESC, label_id) AS rn
+  FROM scored QUALIFY rn <= {ntop}
+),
+per_iri AS (
+  SELECT *, row_number() OVER (PARTITION BY source_term_id, iri ORDER BY rn) AS rn_iri
+  FROM topn QUALIFY rn_iri = 1
+),
+final AS (
+  SELECT *, row_number() OVER (PARTITION BY source_term_id ORDER BY rn) AS rk
+  FROM per_iri QUALIFY rk <= {max_mappings}
+)"""
+
+
+def _fixture_edges_values() -> str:
+    rows = fixture_ontology_rows()
+    vals = []
+    for r in rows:
+        for p in r["parents"]:
+            vals.append(f"('{r['iri']}', '{p}')")
+    return ",\n    ".join(vals)
+
+
+def _fixture_instance_values() -> str:
+    rows = fixture_ontology_rows()
+    vals = []
+    for r in rows:
+        for inst in r["instances"]:
+            vals.append(f"('{inst}', '{r['iri']}')")
+    return ",\n    ".join(vals)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o: dict[str, str] = {}
+
+    o["tfidf_topk"] = (
+        _tfidf_cte()
+        + """
+SELECT source_term_id, source_term, display_label AS mapped_term_label,
+       iri AS mapped_term_iri, CAST(round(score * 1000) AS INT) AS score_milli
+FROM final"""
+    )
+
+    o["normalize_mentions"] = f"""WITH {_MENTIONS_CTE}
+SELECT source_term_id, source_term, {_norm_sql('source_term')} AS norm FROM mentions"""
+
+    o["ngram_doc_freq"] = f"""WITH {_MENTIONS_CTE},
+m_norm AS (SELECT source_term_id, {_norm_sql('source_term')} AS norm FROM mentions),
+src_ng AS (
+  SELECT DISTINCT source_term_id, substring(' ' || word || ' ', i, 3) AS ngram
+  FROM m_norm,
+       LATERAL unnest(string_split(norm, ' ')) AS w(word),
+       LATERAL unnest(generate_series(1, length(word))) AS g(i)
+  WHERE word <> ''
+)
+SELECT ngram, count(*) AS df FROM src_ng GROUP BY ngram"""
+
+    o["syntactic_levenshtein"] = f"""WITH {_MENTIONS_CTE},
+{demo_onto_values_sql()},
+sims AS (
+  SELECT m.source_term_id, m.source_term, o.iri,
+         max(1.0 - levenshtein(m.source_term, o.name)::DOUBLE /
+             greatest(length(m.source_term), length(o.name))) AS sim
+  FROM mentions m CROSS JOIN onto o
+  GROUP BY 1, 2, 3
+),
+fin AS (
+  SELECT *, row_number() OVER (PARTITION BY source_term_id ORDER BY sim DESC, iri) AS rk
+  FROM sims QUALIFY rk <= 3
+)
+SELECT source_term_id, source_term, iri AS mapped_term_iri,
+       CAST(round(sim * 1000) AS INT) AS score_milli
+FROM fin"""
+
+    o["syntactic_jaccard"] = f"""WITH {_MENTIONS_CTE},
+{demo_onto_values_sql()},
+sims AS (
+  SELECT m.source_term_id, m.source_term, o.iri,
+         max(jaccard(m.source_term, o.name)) AS sim
+  FROM mentions m CROSS JOIN onto o
+  GROUP BY 1, 2, 3
+),
+fin AS (
+  SELECT *, row_number() OVER (PARTITION BY source_term_id ORDER BY sim DESC, iri) AS rk
+  FROM sims QUALIFY rk <= 3
+)
+SELECT source_term_id, source_term, iri AS mapped_term_iri,
+       CAST(round(sim * 1000) AS INT) AS score_milli
+FROM fin"""
+
+    o["unmapped_terms"] = (
+        _tfidf_cte(min_score=0.7)
+        + """
+SELECT m.source_term_id, m.source_term
+FROM mentions m
+WHERE m.source_term NOT IN (SELECT source_term FROM final)"""
+    )
+
+    o["coverage_stats"] = (
+        _tfidf_cte()
+        + """
+SELECT count(DISTINCT source_term_id) AS n_ids,
+       count(DISTINCT iri) AS n_iris,
+       count(*) AS n_rows
+FROM final"""
+    )
+
+    o["exact_dedup"] = """
+SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dups
+FROM documents GROUP BY 1"""
+
+    o["ngram_jaccard_neardup"] = f"""WITH {_SHINGLES_CTE},
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS matches
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(matches::DOUBLE / (sa.sz + sb.sz - matches), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE matches::DOUBLE / (sa.sz + sb.sz - matches) >= 0.05"""
+
+    o["minhash_signatures"] = f"""WITH {_SHINGLES_CTE},
+sig AS (
+  SELECT doc_id, i, min(md5(i::VARCHAR || ':' || s)) AS h
+  FROM sh, LATERAL unnest(generate_series(0, 15)) AS t(i)
+  GROUP BY 1, 2
+)
+SELECT doc_id AS doc, string_agg(h, '|' ORDER BY i) AS sig FROM sig GROUP BY doc_id"""
+
+    o["minhash_lsh_pairs"] = f"""WITH {_SHINGLES_CTE},
+sig AS (
+  SELECT doc_id, i, min(md5(i::VARCHAR || ':' || s)) AS h
+  FROM sh, LATERAL unnest(generate_series(0, 15)) AS t(i)
+  GROUP BY 1, 2
+),
+bands AS (
+  SELECT doc_id, i // 4 AS band, md5(string_agg(h, '|' ORDER BY i)) AS band_hash
+  FROM sig GROUP BY doc_id, i // 4
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
+WHERE a.doc_id < b.doc_id"""
+
+    o["simhash"] = f"""WITH {_WORDS_CTE},
+tok AS (SELECT doc_id, unnest(ws) AS w FROM words),
+bits AS (
+  SELECT doc_id, i,
+         CASE WHEN substring(md5(w), i, 1) IN ('8','9','a','b','c','d','e','f')
+              THEN 1 ELSE -1 END AS b
+  FROM tok, LATERAL unnest(generate_series(1, 32)) AS g(i)
+),
+acc AS (SELECT doc_id, i, sum(b) AS s FROM bits GROUP BY 1, 2)
+SELECT doc_id AS doc,
+       string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY i) AS simhash
+FROM acc GROUP BY doc_id"""
+
+    o["token_stats"] = f"""WITH {_WORDS_CTE}
+SELECT doc_id AS doc,
+       len(ws) AS n_words,
+       length(text) AS n_chars,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]')) AS n_tokens_bpeish,
+       round(list_reduce(list_transform(ws, x -> length(x)::DOUBLE), (a, b) -> a + b)
+             / greatest(len(ws), 1), 6) AS avg_word_len,
+       len(list_distinct(ws)) AS n_distinct_words
+FROM words"""
+
+    en = ", ".join(f"'{w}'" for w in ts.LANG_PROFILES["en"])
+    o["quality_score"] = f"""WITH {_WORDS_CTE}
+SELECT doc_id AS doc,
+       round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+             / greatest(length(text), 1), 6) AS alpha_ratio,
+       round(len(list_distinct(ws))::DOUBLE / greatest(len(ws), 1), 6) AS distinct_ratio,
+       round(len(list_filter(ws, x -> list_contains([{en}], lower(x))))::DOUBLE
+             / greatest(len(ws), 1), 6) AS stop_ratio,
+       round(0.3 * (CASE WHEN len(ws) BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.3 END)
+             + 0.3 * (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+                      / greatest(length(text), 1))
+             + 0.2 * (len(list_distinct(ws))::DOUBLE / greatest(len(ws), 1))
+             + 0.2 * least((len(list_filter(ws, x -> list_contains([{en}], lower(x))))::DOUBLE
+                            / greatest(len(ws), 1)) * 5, 1.0), 6) AS quality
+FROM words"""
+
+    lang_selects = []
+    for code in sorted(ts.LANG_PROFILES):
+        prof = ", ".join(f"'{w}'" for w in ts.LANG_PROFILES[code])
+        lang_selects.append(
+            f"SELECT doc_id, '{code}' AS code, "
+            f"len(list_filter(ws, x -> list_contains([{prof}], lower(x)))) AS hits "
+            "FROM words"
+        )
+    o["lang_id"] = f"""WITH {_WORDS_CTE},
+hits AS ({' UNION ALL '.join(lang_selects)}),
+ranked AS (
+  SELECT doc_id, code, hits,
+         row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, code) AS rn
+  FROM hits QUALIFY rn = 1
+)
+SELECT doc_id AS doc,
+       CASE WHEN hits > 0 THEN code ELSE 'und' END AS pred_lang,
+       hits AS profile_hits
+FROM ranked"""
+
+    o["doc_fingerprint"] = f"""WITH {_SHINGLES_CTE},
+digests AS (
+  SELECT doc_id, (array_agg(md5(s) ORDER BY md5(s)))[1:4] AS top4 FROM sh GROUP BY 1
+)
+SELECT doc_id AS doc, md5(array_to_string(top4, '|')) AS fingerprint FROM digests"""
+
+    o["embedding_topk"] = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5
+),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS cosine
+  FROM embeddings e CROSS JOIN q
+),
+fin AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk
+  FROM scored QUALIFY rk <= 5
+)
+SELECT query_id, vec_id, round(cosine, 6) AS cosine, rk FROM fin"""
+
+    o["ancestor_closure"] = f"""WITH RECURSIVE edges(term, anc) AS (
+  SELECT * FROM (VALUES
+    {_fixture_edges_values()}
+  ) AS t(term, anc)
+),
+closure(term, anc) AS (
+  SELECT term, anc FROM edges
+  UNION
+  SELECT c.term, e.anc FROM closure c JOIN edges e ON c.anc = e.term
+)
+SELECT term, anc FROM closure"""
+
+    o["hierarchy_edges"] = f"""WITH is_a(src, dst) AS (
+  SELECT * FROM (VALUES
+    {_fixture_edges_values()}
+  ) AS t(src, dst)
+),
+inst(src, dst) AS (
+  SELECT * FROM (VALUES
+    {_fixture_instance_values()}
+  ) AS t(src, dst)
+)
+SELECT src, dst, 'IS_A' AS label FROM is_a
+UNION ALL
+SELECT src, dst, 'INSTANCE_OF' AS label FROM inst"""
+
+    o["topk_per_group"] = """
+SELECT l_orderkey, l_linenumber, l_extendedprice, rk FROM (
+  SELECT l_orderkey, l_linenumber, l_extendedprice,
+         row_number() OVER (PARTITION BY l_orderkey
+                            ORDER BY l_extendedprice DESC, l_linenumber) AS rk
+  FROM lineitem
+) t WHERE rk <= 3"""
+
+    o["broadcast_dim_join"] = """
+SELECT p.p_brand AS brand, count(*) AS n_items,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY 1"""
+
+    return o

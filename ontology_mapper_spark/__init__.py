@@ -1,0 +1,24 @@
+"""ontology-mapper-spark: a PySpark-native KG-construction engine with the
+query/data-processing capabilities of text2term (ccb-hms/ontology-mapper),
+re-expressed Spark-first (SURVEY.md).
+
+Public API (mirrors the reference's surface, ``t2t.py:31-34``):
+    map_terms / map_terms_df  — free-text -> ontology mappings DataFrame
+    construct_kg              — pages -> (subj, mappedTo, obj) triples
+    MappingConfig, Mapper, OntologyTermType
+"""
+
+from ontology_mapper_spark.config import (  # noqa: F401
+    Mapper,
+    MappingConfig,
+    OntologyTermType,
+)
+from ontology_mapper_spark.pipeline import (  # noqa: F401
+    construct_kg,
+    map_terms,
+    map_terms_df,
+    mappings_to_triples,
+)
+from ontology_mapper_spark.session import get_spark  # noqa: F401
+
+__version__ = "0.1.0"

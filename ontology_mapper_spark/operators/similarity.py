@@ -1,0 +1,137 @@
+"""Embedding similarity search (task brief: brute-force cosine top-k
+baseline + LSH-bucketed scale variant) over ``embeddings(vec_id,
+embedding array<float>, label)``.
+
+- ``cosine_topk``: exact baseline. Query set is a broadcast dimension; the
+  dot product is a native ``zip_with``/``aggregate`` expression (JVM,
+  codegen) over the crossJoin; top-k per query via window. Cost
+  O(|queries| x |corpus|) — correct-by-construction reference.
+- ``lsh_cosine_topk``: sign-random-projection (SimHash-for-vectors) buckets:
+  deterministic pseudo-hyperplanes derived from md5 of (plane, dim) so the
+  result is reproducible everywhere; candidates share >= 1 of ``tables``
+  bucket keys; exact cosine re-ranks candidates. Recall < 1 by design —
+  the scale path when the corpus won't fit a crossJoin.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine_similarity_col(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+) -> DataFrame:
+    """queries(query_id, query_vec) x embeddings(vec_id, embedding) ->
+    (query_id, vec_id, cosine) top-k per query, ties by vec_id asc.
+    Vectors are cast to double before arithmetic (stable across engines)."""
+    corpus = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    q = queries.select(
+        "query_id", F.col("query_vec").cast("array<double>").alias("qvec")
+    )
+    scored = corpus.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "vec_id",
+        cosine_similarity_col(F.col("qvec"), F.col("vec")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "vec_id", "cosine", "rk")
+    )
+
+
+def _hyperplane(plane: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random unit-free hyperplane: coefficient (p, d)
+    = signed 16-bit int from md5("p:d") — reproducible everywhere."""
+    coeffs = []
+    for d in range(dim):
+        h = hashlib.md5(f"{plane}:{d}".encode()).hexdigest()
+        v = int(h[:4], 16) - 32768
+        coeffs.append(float(v))
+    return coeffs
+
+
+def lsh_cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    planes_per_table: int = 8,
+    tables: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Bucketed ANN: bucket key per table = sign-bit string over that
+    table's hyperplanes; candidates = corpus rows sharing any table bucket
+    with the query; exact cosine re-rank, top-k."""
+    spark = embeddings.sparkSession
+    all_planes = [
+        _hyperplane(t * planes_per_table + p, dim)
+        for t in range(tables)
+        for p in range(planes_per_table)
+    ]
+    planes_lit = F.array(
+        *[F.array(*[F.lit(c) for c in pl]) for pl in all_planes]
+    )
+
+    def bucket_keys(vec):
+        signs = F.transform(
+            planes_lit, lambda pl: F.when(_dot(pl, vec) >= 0, "1").otherwise("0")
+        )
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(tables - 1)),
+            lambda t: F.concat(
+                t.cast("string"),
+                F.lit("_"),
+                F.array_join(
+                    F.slice(signs, t * planes_per_table + 1, planes_per_table), ""
+                ),
+            ),
+        )
+
+    corpus = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    ).withColumn("bucket", F.explode(bucket_keys(F.col("vec"))))
+    q = queries.select(
+        "query_id", F.col("query_vec").cast("array<double>").alias("qvec")
+    ).withColumn("bucket", F.explode(bucket_keys(F.col("qvec"))))
+    cand = (
+        corpus.join(F.broadcast(q), "bucket")
+        .select("query_id", "vec_id", "qvec", "vec")
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    scored = cand.select(
+        "query_id",
+        "vec_id",
+        cosine_similarity_col(F.col("qvec"), F.col("vec")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "vec_id", "cosine", "rk")
+    )

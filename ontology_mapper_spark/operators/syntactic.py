@@ -112,6 +112,76 @@ def syntactic_map_broadcast(
     )
 
 
+def syntactic_map_prefiltered(
+    mentions: DataFrame,
+    onto_labels: DataFrame,
+    cfg: MappingConfig,
+    prefilter_ntop: int = 100,
+    prefilter_min_score: float = 0.05,
+) -> DataFrame:
+    """Scale path for syntactic metrics (SURVEY.md §4 'ensemble'): generate
+    candidates with the TF-IDF inverted index (cheap, broadcast, map-side),
+    then re-score ONLY those pairs with the exact string metric in an
+    Arrow-batched pandas UDF. Replaces the O(|mentions| x |terms|) nested
+    loop with O(|mentions| x ntop); recall < 1 only for pairs with zero
+    normalized-3-gram overlap, which the metrics would score near zero
+    anyway (validate P/R when changing prefilter knobs)."""
+    import pandas as pd  # noqa: F811
+    from pyspark.sql import types as T
+
+    from ontology_mapper_spark.config import MappingConfig as MC
+    from ontology_mapper_spark.operators.tfidf import tfidf_map_broadcast
+
+    pre_cfg = MC(
+        min_score=prefilter_min_score,
+        max_mappings=prefilter_ntop,
+        ntop=prefilter_ntop,
+        ngram_length=cfg.ngram_length,
+    )
+    cand = tfidf_map_broadcast(mentions, onto_labels, pre_cfg).select(
+        "source_term_id", "source_term", F.col("mapped_term_iri").alias("iri")
+    )
+    names = onto_labels.groupBy("iri", "display_label").agg(
+        F.sort_array(F.collect_list(F.struct("is_synonym", "name"))).alias("nm")
+    ).select(
+        "iri", "display_label",
+        F.transform("nm", lambda s: s["name"]).alias("names"),
+    )
+    pairs = cand.join(F.broadcast(names), "iri")
+    metric_name = cfg.mapper
+
+    @F.pandas_udf(T.DoubleType())
+    def best_sim(term: pd.Series, names_col: pd.Series) -> pd.Series:
+        metric = METRICS[metric_name]
+        out = []
+        for t, nm in zip(term, names_col):
+            best = 0.0
+            for n in nm:
+                s = metric(t, n)
+                if s > best:
+                    best = s
+            out.append(best)
+        return pd.Series(out)
+
+    scored = pairs.withColumn(
+        "mapping_score", best_sim(F.col("source_term"), F.col("names"))
+    )
+    w = Window.partitionBy("source_term_id").orderBy(
+        F.desc("mapping_score"), F.asc("iri")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= cfg.max_mappings)
+        .select(
+            "source_term_id",
+            "source_term",
+            F.col("display_label").alias("mapped_term_label"),
+            F.col("iri").alias("mapped_term_iri"),
+            "mapping_score",
+        )
+    )
+
+
 def syntactic_map_sql(
     mentions: DataFrame, onto_labels: DataFrame, cfg: MappingConfig
 ) -> DataFrame:

@@ -42,6 +42,7 @@ from ontology_mapper_spark.text.normalize import (
     char_wb_ngrams_col,
     char_wb_ngrams_py,
     normalize_col,
+    normalize_py,
 )
 
 CANDIDATE_SCHEMA = T.StructType(
@@ -64,25 +65,55 @@ def _labels_ordered(onto_labels: DataFrame) -> DataFrame:
     return onto_labels.withColumn("label_id", F.row_number().over(w) - 1)
 
 
-def source_idf_map(mentions_norm: DataFrame) -> tuple[dict[str, float], int]:
+_COUNT_SENTINEL = "\x00__doc_count__"
+
+
+def source_idf_map(
+    mentions: DataFrame, ngram_length: int = 3
+) -> tuple[dict[str, float], int]:
     """Document frequency of each char-3gram over the mention corpus
     (reference fits TfidfVectorizer on the full to_map list:
-    ``tfidf_mapper.py:51``). One small aggregate: |keys| is bounded by the
-    trigram space, partial aggregation collapses it map-side."""
-    n_docs = mentions_norm.count()
-    rows = (
-        mentions_norm.select(
-            F.explode(F.array_distinct(char_wb_ngrams_col(F.col("norm")))).alias(
-                "ngram"
-            )
-        )
+    ``tfidf_mapper.py:51``).
+
+    Physical shape: an Arrow-batched kernel emits per-partition partial
+    (ngram, df) counters plus a doc-count sentinel; one tiny sum-aggregate
+    (|keys| bounded by the trigram space) finishes it. Normalization +
+    n-gramming stay in Python here on purpose: Spark evaluates higher-order
+    array lambdas interpreted (outside whole-stage codegen), which measured
+    ~10x slower than this kernel; the Column versions remain the
+    SQL-oracle-parity path (tfidf_map_inverted_index)."""
+
+    def df_partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        df_c: Counter = Counter()
+        n = 0
+        memo: dict[str, set] = {}
+        for pdf in batches:
+            for term in pdf["source_term"]:
+                n += 1
+                gs = memo.get(term)
+                if gs is None:
+                    gs = set(char_wb_ngrams_py(normalize_py(term), ngram_length))
+                    memo[term] = gs
+                df_c.update(gs)
+        rows = list(df_c.items())
+        rows.append((_COUNT_SENTINEL, n))
+        yield pd.DataFrame(rows, columns=["ngram", "df"])
+
+    agg = (
+        mentions.select("source_term")
+        .mapInPandas(df_partials, schema="ngram string, df long")
         .groupBy("ngram")
-        .agg(F.count(F.lit(1)).alias("df"))
+        .agg(F.sum("df").alias("df"))
         .collect()
     )
-    idf = {
-        r["ngram"]: math.log((1 + n_docs) / (1 + r["df"])) + 1.0 for r in rows
-    }
+    n_docs = 0
+    dfs: dict[str, int] = {}
+    for r in agg:
+        if r["ngram"] == _COUNT_SENTINEL:
+            n_docs = r["df"]
+        else:
+            dfs[r["ngram"]] = r["df"]
+    idf = {g: math.log((1 + n_docs) / (1 + d)) + 1.0 for g, d in dfs.items()}
     return idf, n_docs
 
 
@@ -184,8 +215,7 @@ def tfidf_map_broadcast(
     candidate mappings (unrounded scores; post-processing in pipeline.py).
     """
     spark = mentions.sparkSession
-    m = mentions.withColumn("norm", normalize_col(F.col("source_term")))
-    src_idf, n_docs = source_idf_map(m)
+    src_idf, n_docs = source_idf_map(mentions, cfg.ngram_length)
     default_idf = math.log(float(1 + n_docs)) + 1.0  # df=0 fallback
     idx = build_target_index(onto_labels, cfg.ngram_length)
     b_idx = spark.sparkContext.broadcast(idx)
@@ -206,13 +236,13 @@ def tfidf_map_broadcast(
         memo: dict[str, list[tuple[int, float]]] = {}
         for pdf in batches:
             ids_out, terms_out, lbl_out, iri_out, sc_out = [], [], [], [], []
-            for sid, term, norm in zip(
-                pdf["source_term_id"], pdf["source_term"], pdf["norm"]
-            ):
-                cands = memo.get(norm)
+            for sid, term in zip(pdf["source_term_id"], pdf["source_term"]):
+                cands = memo.get(term)
                 if cands is None:
-                    cands = _score_one(norm, tindex, sidf, default_idf, local_cfg)
-                    memo[norm] = cands
+                    cands = _score_one(
+                        normalize_py(term), tindex, sidf, default_idf, local_cfg
+                    )
+                    memo[term] = cands
                 for lid, score in cands:
                     ids_out.append(sid)
                     terms_out.append(term)
@@ -229,7 +259,7 @@ def tfidf_map_broadcast(
                 }
             )
 
-    return m.select("source_term_id", "source_term", "norm").mapInPandas(
+    return mentions.select("source_term_id", "source_term").mapInPandas(
         score_batches, schema=CANDIDATE_SCHEMA
     )
 

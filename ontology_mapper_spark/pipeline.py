@@ -39,6 +39,16 @@ def map_terms_df(
     )
     labels = onto_labels_df(onto)
 
+    # The mention relation is consumed by several passes (source-IDF
+    # aggregate, scoring, tags join, unmapped anti-join). Persisting it once
+    # cuts the upstream chain (page synthesis / HTML extraction are Python
+    # stages — re-running them per pass both doubles work and oversubscribes
+    # CPUs with chained Python workers; measured 3-4x at local[32]).
+    # MEMORY_AND_DISK: spills instead of recomputing at 100 TB partitions.
+    from pyspark import StorageLevel
+
+    mentions = mentions.persist(StorageLevel.MEMORY_AND_DISK)
+
     to_map = post.filter_ignored(mentions)
     if cfg.mapper == Mapper.TFIDF:
         impl = tfidf_map_inverted_index if cfg.use_inverted_index else tfidf_map_broadcast

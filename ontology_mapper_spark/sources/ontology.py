@@ -164,6 +164,38 @@ def fixture_ontology_rows() -> list[dict]:
     return rows
 
 
+_SYNTH_VOCAB = [
+    "asthma", "bronchitis", "allergy", "disease", "syndrome", "disorder",
+    "measurement", "protein", "level", "acute", "chronic", "respiratory",
+    "digestive", "immune", "colon", "lung", "food", "attack", "location",
+    "phenotype", "carcinoma", "infection", "inflammation", "deficiency",
+    "cardiac", "renal", "hepatic", "neural", "vascular", "metabolic",
+]
+
+
+def synthesize_ontology_rows(n_terms: int) -> list[dict]:
+    """Deterministic large ontology for benchmarking: EFO-shaped scale
+    (labels+synonyms per term, shallow IS_A chain). ~1.5 names/term like
+    real EFO; label text drawn from a medical-ish vocabulary so n-gram
+    postings have realistic skew."""
+    v = len(_SYNTH_VOCAB)
+    rows = []
+    for k in range(n_terms):
+        w1 = _SYNTH_VOCAB[k % v]
+        w2 = _SYNTH_VOCAB[(k // v + k) % v]
+        label = f"{w1} {w2} type {k % 977}"
+        synonyms = [f"{w2} {w1} variant {k % 977}"] if k % 2 == 0 else []
+        parent = {}
+        if k >= v:
+            p = k % (k // 2 + 1)
+            parent = {f"{EFO}EFO_B{p:07d}": f"synthetic parent {p}"}
+        rows.append(
+            _t(f"{EFO}EFO_B{k:07d}", [label], synonyms, parents=parent,
+               deprecated=(k % 53 == 0))
+        )
+    return rows
+
+
 def onto_terms_from_rows(spark: SparkSession, rows: list[dict]) -> DataFrame:
     """Builds ``onto_terms`` with ``children`` derived as the inverse of
     ``parents`` (the reference collects both directions,

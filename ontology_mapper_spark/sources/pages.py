@@ -86,15 +86,27 @@ def extract_text_py(html: bytes) -> str:
     return "\n".join(lines)
 
 
-def page_rows(n_pages: int, mentions_per_page: int = 4) -> Iterator[tuple]:
-    """Deterministic page generator (seed-free arithmetic rotation)."""
+def _paragraphs(i: int, mentions_per_page: int, variants: int) -> list[str]:
     v = len(MENTION_VOCAB)
+    paras = []
+    for j in range(mentions_per_page):
+        base = MENTION_VOCAB[(i * 7 + 3 * j) % v]
+        if variants:
+            base = f"{base} case {(i * 13 + j * 7) % variants}"
+        paras.append(base)
+    return paras
+
+
+def page_rows(
+    n_pages: int, mentions_per_page: int = 4, variants: int = 0
+) -> Iterator[tuple]:
+    """Deterministic page generator (seed-free arithmetic rotation).
+    ``variants`` > 0 appends a rotating qualifier to each mention so bench
+    corpora have ~``len(vocab) * variants`` distinct mention strings."""
     for i in range(n_pages):
         url = f"https://example.org/site{i % 97}/page{i}"
         ts = _EPOCH + datetime.timedelta(seconds=37 * i)
-        paras = [
-            MENTION_VOCAB[(i * 7 + 3 * j) % v] for j in range(mentions_per_page)
-        ]
+        paras = _paragraphs(i, mentions_per_page, variants)
         html = render_html(f"Synthetic page {i}", paras)
         yield (url, ts, html, extract_text_py(html), _LANGS[i % len(_LANGS)])
 
@@ -104,22 +116,21 @@ def synthesize_pages(
     n_pages: int,
     mentions_per_page: int = 4,
     num_partitions: int | None = None,
+    variants: int = 0,
 ) -> DataFrame:
     """Distributed deterministic synthesis: each partition renders its own
     index range (no driver materialization — scales to any n_pages)."""
-    num_partitions = num_partitions or max(1, min(64, n_pages // 1000 or 1))
+    # enough splits that any executor count up to ~128 threads stays busy;
+    # ~250 pages per task keeps Arrow batches small and scheduling cheap
+    num_partitions = num_partitions or max(1, min(256, n_pages // 250 or 1))
     rng = spark.range(0, n_pages, 1, num_partitions)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        v = len(MENTION_VOCAB)
         for pdf in batches:
             rows = []
             for i in pdf["id"]:
                 i = int(i)
-                paras = [
-                    MENTION_VOCAB[(i * 7 + 3 * j) % v]
-                    for j in range(mentions_per_page)
-                ]
+                paras = _paragraphs(i, mentions_per_page, variants)
                 html = render_html(f"Synthetic page {i}", paras)
                 rows.append(
                     (

@@ -1,0 +1,81 @@
+"""Structured Streaming ingest of new pages (SURVEY.md §2.2 streaming row —
+a capability extension beyond the batch-only reference).
+
+Design: the mapping kernel needs a per-corpus aggregate (source IDF), so the
+streaming entry is ``foreachBatch`` — each micro-batch runs the identical
+batch pipeline (cache-coherent with batch semantics, exactly-once via the
+checkpointLocation + idempotent append), which is the standard Spark pattern
+for joins/aggregates that need batch-only operations. A pure streaming
+aggregation (mention rate with watermarked event-time windows) demonstrates
+the native stateful path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ontology_mapper_spark.config import MappingConfig
+from ontology_mapper_spark.pipeline import construct_kg
+from ontology_mapper_spark.sources.pages import PAGES_SCHEMA
+
+
+def read_pages_stream(spark: SparkSession, input_dir: str,
+                      max_files_per_trigger: int | None = None) -> DataFrame:
+    reader = spark.readStream.schema(PAGES_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(input_dir)
+
+
+def stream_pages_to_triples(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    onto_terms: DataFrame,
+    cfg: MappingConfig | None = None,
+    available_now: bool = True,
+):
+    """Incremental KG construction: new page files -> mappedTo triples,
+    exactly-once via streaming checkpoint + append sink."""
+    stream = read_pages_stream(spark, input_dir)
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        triples = construct_kg(batch_df, onto_terms, cfg)
+        (
+            triples.withColumn("epoch", F.lit(epoch_id))
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def mention_rate(pages_stream: DataFrame, window: str = "10 minutes",
+                 watermark: str = "1 hour") -> DataFrame:
+    """Watermarked event-time aggregation: mentions/pages per window per
+    lang; late pages beyond the watermark are dropped (state bounded)."""
+    return (
+        pages_stream.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("w"), "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.sum(F.size(F.split("text", "\n")) - 1).alias("n_mentions"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "lang",
+            "n_pages",
+            "n_mentions",
+        )
+    )

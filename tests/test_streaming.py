@@ -1,0 +1,72 @@
+"""Structured Streaming ingest: incremental triples + watermarked windows."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ontology_mapper_spark.config import MappingConfig
+from ontology_mapper_spark.pipeline import construct_kg
+from ontology_mapper_spark.sources.ontology import fixture_onto_terms
+from ontology_mapper_spark.sources.pages import synthesize_pages
+from ontology_mapper_spark.streaming.ingest import (
+    mention_rate,
+    read_pages_stream,
+    stream_pages_to_triples,
+)
+
+
+@pytest.mark.spark
+@pytest.mark.slow
+def test_stream_matches_batch(spark, tmp_path):
+    onto = fixture_onto_terms(spark).cache()
+    cfg = MappingConfig(max_mappings=1)
+    in_dir = str(tmp_path / "pages_in")
+    out_dir = str(tmp_path / "triples_out")
+    ckpt = str(tmp_path / "ckpt")
+
+    pages = synthesize_pages(spark, 120).cache()
+    pages.write.mode("overwrite").parquet(in_dir)
+
+    q = stream_pages_to_triples(spark, in_dir, out_dir, ckpt, onto, cfg)
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out_dir).select("subj", "pred", "obj")
+    exp = construct_kg(pages, onto, cfg).select("subj", "pred", "obj")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exp.collect()))
+
+    # incremental: add a second file batch, restart stream — only new pages
+    more = synthesize_pages(spark, 160).filter(
+        ~F.col("url").isin([r["url"] for r in pages.select("url").collect()])
+    )
+    more.write.mode("append").parquet(in_dir)
+    q2 = stream_pages_to_triples(spark, in_dir, out_dir, ckpt, onto, cfg)
+    q2.awaitTermination(120)
+    got2 = spark.read.parquet(out_dir).select("subj", "pred", "obj")
+    exp2 = construct_kg(
+        spark.read.parquet(in_dir), onto, cfg
+    ).select("subj", "pred", "obj")
+    assert sorted(map(tuple, got2.collect())) == sorted(map(tuple, exp2.collect()))
+
+
+@pytest.mark.spark
+@pytest.mark.slow
+def test_mention_rate_watermark(spark, tmp_path):
+    in_dir = str(tmp_path / "pages_in")
+    synthesize_pages(spark, 100).write.mode("overwrite").parquet(in_dir)
+    stream = read_pages_stream(spark, in_dir)
+    agg = mention_rate(stream, window="10 minutes", watermark="1 hour")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("mention_rate_tbl")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from mention_rate_tbl").collect()
+    assert rows
+    assert sum(r["n_pages"] for r in rows) == 100
+    # pages are 37s apart -> windows hold <= ~17 pages
+    assert all(r["n_pages"] <= 17 for r in rows)
+    assert all(r["n_mentions"] == 4 * r["n_pages"] for r in rows)

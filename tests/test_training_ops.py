@@ -1,0 +1,135 @@
+"""Training-data operators: dedup (exact/jaccard/minhash/simhash), ANN,
+text stats, multimodal plumbing — semantics checks on constructed inputs
+(the DuckDB bit-parity check lives in tools/check_entry.py / the driver gate).
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from ontology_mapper_spark.operators import dedup as dd
+from ontology_mapper_spark.operators import textstats as ts
+from ontology_mapper_spark.operators.multimodal import (
+    decode_image_features,
+    frame_sample_plan,
+)
+from ontology_mapper_spark.operators.similarity import cosine_topk, lsh_cosine_topk
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy cat"),
+    (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+    (3, "completely different content here entirely unrelated words"),
+    (4, "the quick brown fox leaps over the lazy dog"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"]).cache()
+
+
+@pytest.mark.spark
+def test_exact_dedup(spark, docs):
+    groups = {r["content_hash"]: r for r in dd.exact_dedup_groups(docs).collect()}
+    dup = [g for g in groups.values() if g["n_dups"] == 2]
+    assert len(dup) == 1 and dup[0]["keep_id"] == 0
+    assert len(groups) == 4
+
+
+@pytest.mark.spark
+def test_ngram_jaccard_pairs(spark, docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dd.ngram_jaccard_pairs(docs, k=3, threshold=0.3).collect()
+    }
+    assert pairs[(0, 2)] == 1.0  # exact dup
+    assert (0, 1) in pairs and pairs[(0, 1)] < 1.0  # one word differs
+    assert not any(3 in p for p in pairs)  # unrelated doc has no pair
+    # hand-check doc0 vs doc1: 7 shingles each, 5 shared -> 5/9
+    assert math.isclose(pairs[(0, 1)], round(5 / 9, 10), abs_tol=1e-6)
+
+
+@pytest.mark.spark
+def test_minhash_lsh_finds_dups(spark, docs):
+    cand = {
+        (r["doc_a"], r["doc_b"])
+        for r in dd.minhash_lsh_candidates(docs, num_hashes=16, bands=4).collect()
+    }
+    assert (0, 2) in cand  # identical docs share every band
+    assert not any(3 in p for p in cand)
+
+
+@pytest.mark.spark
+def test_simhash_properties(spark, docs):
+    sh = {r["doc"]: r["simhash"] for r in dd.simhash_profile(docs).collect()}
+    assert all(len(v) == 32 and set(v) <= {"0", "1"} for v in sh.values())
+    assert sh[0] == sh[2]  # identical content
+    ham01 = sum(a != b for a, b in zip(sh[0], sh[1]))
+    ham03 = sum(a != b for a, b in zip(sh[0], sh[3]))
+    assert ham01 < ham03  # near-dup closer than unrelated
+
+
+@pytest.mark.spark
+def test_cosine_topk_and_lsh_recall(spark):
+    import random
+
+    rnd = random.Random(7)
+    base = [[rnd.uniform(-1, 1) for _ in range(16)] for _ in range(40)]
+    rows = [(i, v, 0) for i, v in enumerate(base)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = cosine_topk(emb, q, k=5).collect()
+    # self-match is rank 1 with cosine ~1
+    for r in exact:
+        if r["rk"] == 1:
+            assert r["vec_id"] == r["query_id"]
+            assert abs(r["cosine"] - 1.0) < 1e-9
+    approx = lsh_cosine_topk(emb, q, k=5, planes_per_table=4, tables=8, dim=16)
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    e = {(r["query_id"], r["vec_id"]) for r in exact}
+    # self-matches always survive LSH (identical vectors share all buckets)
+    assert {(i, i) for i in range(3)} <= a
+    # recall sanity: at 8 tables x 4 planes, most true neighbors survive
+    assert len(a & e) / len(e) >= 0.5
+
+
+@pytest.mark.spark
+def test_textstats(spark, docs):
+    stats = {r["doc"]: r for r in ts.token_stats(docs).collect()}
+    assert stats[0]["n_words"] == 9
+    assert stats[0]["n_distinct_words"] == 8  # 'the' twice
+    qual = {r["doc"]: r for r in ts.quality_score(docs).collect()}
+    assert all(0 <= r["quality"] <= 1 for r in qual.values())
+    langs = {r["doc"]: r["pred_lang"] for r in ts.lang_id(docs).collect()}
+    assert langs[0] == "en"
+    fp = {r["doc"]: r["fingerprint"] for r in ts.doc_fingerprint(docs).collect()}
+    assert fp[0] == fp[2]
+    assert fp[0] != fp[3]
+
+
+@pytest.mark.spark
+def test_multimodal_plumbing(spark):
+    media = spark.createDataFrame(
+        [("m1", bytearray(b"\x89PNGfake1")), ("m2", bytearray(b"\x89PNGfake2"))],
+        ["media_id", "content"],
+    )
+    out = decode_image_features(media).collect()
+    assert {r["media_id"] for r in out} == {"m1", "m2"}
+    for r in out:
+        assert r["n_bytes"] == 9
+        assert len(r["feature"]) == 8
+        assert all(0.0 <= v <= 1.0 for v in r["feature"])
+        assert r["width"] >= 64 and r["height"] >= 64
+    # deterministic across runs
+    out2 = decode_image_features(media).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+    # strict mode surfaces the stub honestly
+    with pytest.raises(Exception):
+        decode_image_features(media, strict=True).collect()
+    plan = frame_sample_plan(media, every_n=5).collect()
+    assert len(plan) == 20
+    assert {r["frame_idx"] for r in plan} == set(range(0, 50, 5))
