@@ -105,18 +105,28 @@ def suite(spark, sf_dir: str) -> dict[str, float]:
     return times
 
 
+def _burn(_) -> int:
+    t0 = time.time()
+    x = 0
+    while time.time() - t0 < 1.0:
+        x += 1
+    return x
+
+
 def _kg_run(cores: int, n_pages: int) -> None:
     """Subprocess entry: one clean JVM per measurement (same-process session
     reuse leaks caches/GC pressure across runs and distorts scaling)."""
     spark = get_spark(f"bench-kg-{cores}", cores=cores,
                       shuffle_partitions=max(cores * 2, 16))
-    kg_job(spark, 2000)  # warm JVM/codegen/Python workers: steady-state
+    kg_job(spark, 1000)  # warm JVM/codegen/Python workers: steady-state
+    burn = _burn(None)  # host-load context for this measurement window
     t0 = time.time()
     n_mentions, n_triples = kg_job(spark, n_pages)
     dt = time.time() - t0
     spark.stop()
     print(json.dumps(
-        {"sec": round(dt, 3), "mentions": n_mentions, "triples": n_triples}
+        {"sec": round(dt, 3), "mentions": n_mentions, "triples": n_triples,
+         "burn_1proc": burn}
     ))
 
 
@@ -125,36 +135,51 @@ def main() -> None:
 
     results: dict = {"sf": SF, "unit": "sec"}
 
+    # ---- hardware probe: pure-CPU parallel capacity of this box, so the
+    # scaling numbers below can be read against what the silicon allows.
+    # (Measured here: ~8 physical cores + SMT — 16/32 procs add only
+    # ~1.8x/1.7x over 8, so beyond local[8] any job is hardware-capped.)
+    import multiprocessing as mp
+
+    probe = {}
+    for nproc in (1, 8, CPUS):
+        with mp.Pool(nproc) as pool:
+            probe[f"iters_{nproc}procs"] = sum(pool.map(_burn, range(nproc)))
+    results["cpu_probe"] = probe
+
     # ---- scaling evidence: same KG job at two parallelism levels (N vs 4N)
-    # The box has 16 physical cores + SMT (pure-CPU scaling caps at ~3.1x
-    # from 8->32 procs), so the honest N->4N pair stays within physical
-    # cores: local[4] vs local[16]. local[32] is used for the suite.
-    cores_high = min(16, CPUS)
+    # within the machine's linear-scaling region: local[2] vs local[8]
+    # (the sandbox substitution for N vs 4N executors).
+    cores_high = min(8, CPUS)
     cores_low = max(2, cores_high // 4)
     scaling = {}
     kg_stats = {}
+    # The host has strong time-varying contention (cpu_probe fluctuates
+    # ~3x between runs); interleave the two levels and take the min over
+    # repeats so a noisy window cannot skew the ratio one-sided.
     repeats = int(os.environ.get("BENCH_REPEATS", "2"))
-    for cores, tag in ((cores_low, "low"), (cores_high, "high")):
-        best = None
-        for _ in range(repeats):
+    best: dict[str, dict] = {}
+    for _ in range(repeats):
+        for cores, tag in ((cores_high, "high"), (cores_low, "low")):
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--kg-run",
                  str(cores), str(N_PAGES)],
                 capture_output=True, text=True, check=True,
             )
             r = json.loads(out.stdout.strip().splitlines()[-1])
-            # min over repeats = least-noise estimate (shared host)
-            if best is None or r["sec"] < best["sec"]:
-                best = r
+            if tag not in best or r["sec"] < best[tag]["sec"]:
+                best[tag] = r
+    for cores, tag in ((cores_low, "low"), (cores_high, "high")):
         scaling[f"cores_{tag}"] = cores
-        scaling[f"sec_{tag}"] = best["sec"]
-        kg_stats = {
-            "pages": N_PAGES,
-            "mentions": best["mentions"],
-            "triples": best["triples"],
-            "triples_per_sec": round(best["triples"] / best["sec"], 1),
-            "mentions_per_sec": round(best["mentions"] / best["sec"], 1),
-        }
+        scaling[f"sec_{tag}"] = best[tag]["sec"]
+    b = best["high"]
+    kg_stats = {
+        "pages": N_PAGES,
+        "mentions": b["mentions"],
+        "triples": b["triples"],
+        "triples_per_sec": round(b["triples"] / b["sec"], 1),
+        "mentions_per_sec": round(b["mentions"] / b["sec"], 1),
+    }
     speedup = scaling["sec_low"] / scaling["sec_high"]
     scaling["efficiency"] = round(speedup / (cores_high / cores_low), 3)
     results["kg"] = kg_stats

@@ -120,9 +120,11 @@ def synthesize_pages(
 ) -> DataFrame:
     """Distributed deterministic synthesis: each partition renders its own
     index range (no driver materialization — scales to any n_pages)."""
-    # enough splits that any executor count up to ~128 threads stays busy;
-    # ~250 pages per task keeps Arrow batches small and scheduling cheap
-    num_partitions = num_partitions or max(1, min(256, n_pages // 250 or 1))
+    # Every Arrow/pandas stage pays a fixed per-task cost (~0.1-0.3s for
+    # worker handshake + Arrow setup), so partitions must be coarse enough
+    # to amortize it (~2500 pages ≈ 10k mentions ≈ one Arrow batch per
+    # task) while still giving up to ~64 concurrent tasks for scale-out.
+    num_partitions = num_partitions or max(8, min(256, n_pages // 2500 or 1))
     rng = spark.range(0, n_pages, 1, num_partitions)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

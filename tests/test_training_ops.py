@@ -47,8 +47,9 @@ def test_ngram_jaccard_pairs(spark, docs):
     assert pairs[(0, 2)] == 1.0  # exact dup
     assert (0, 1) in pairs and pairs[(0, 1)] < 1.0  # one word differs
     assert not any(3 in p for p in pairs)  # unrelated doc has no pair
-    # hand-check doc0 vs doc1: 7 shingles each, 5 shared -> 5/9
-    assert math.isclose(pairs[(0, 1)], round(5 / 9, 10), abs_tol=1e-6)
+    # hand-check doc0 vs doc1 (9 words, last differs): 7 shingles each,
+    # shingles 1-6 shared (only the last contains word 9) -> 6/(7+7-6)
+    assert math.isclose(pairs[(0, 1)], 6 / 8, abs_tol=1e-6)
 
 
 @pytest.mark.spark
