@@ -1,0 +1,244 @@
+"""OWL (RDF/XML) ontology scan — SURVEY.md §2 S3/S4/J5, without owlready2.
+
+The reference parses OWL through owlready2's sqlite quadstore
+(``term_collector.py:335-363``) and extracts per-term fields
+(``term_collector.py:23-333``). This engine keeps the parse driver-side
+(ontologies are dimension data) but uses a dependency-free RDF/XML subset
+parser covering what the reference actually reads:
+
+- ``owl:Class`` / property declarations (Object/Datatype/Annotation
+  property -> term_type 'property'; reference ``term_collector.py:392-406``)
+- labels: ``rdfs:label`` ∪ ``skos:prefLabel``; fallback IRI fragment
+  (``term_collector.py:160-177``)
+- synonyms: ``oboInOwl:hasExactSynonym`` ∪ NCIT ``P90`` ∪ EFO
+  ``alternative_term`` (``term_collector.py:179-200``)
+- definitions: ``skos:definition`` ∪ ``IAO_0000115``
+  (``term_collector.py:305-333``)
+- parents: named ``rdfs:subClassOf``/``rdfs:subPropertyOf`` resources,
+  conjuncts of ``owl:intersectionOf`` lists, excluding ``owl:Thing``
+  (``term_collector.py:93-119``)
+- restrictions: ``owl:Restriction`` (onProperty -> filler)
+  (``term_collector.py:121-132``)
+- instances: ``owl:NamedIndividual``/typed individuals
+  (``term_collector.py:147-158``)
+- ``owl:deprecated`` true (``term_collector.py:76``)
+
+Children maps are derived as the inverse of parents (J5), and parent/child
+label values resolve through the parsed term set with IRI-fragment fallback
+— matching the reference's label-resolution semantics.
+
+``write_owl`` serializes the same subset (round-trip pinned by tests).
+"""
+
+from __future__ import annotations
+
+import xml.etree.ElementTree as ET
+from xml.sax.saxutils import escape
+
+from ontology_mapper_spark.config import OntologyTermType
+
+RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+RDFS = "http://www.w3.org/2000/01/rdf-schema#"
+OWL = "http://www.w3.org/2002/07/owl#"
+SKOS = "http://www.w3.org/2004/02/skos/core#"
+OBOINOWL = "http://www.geneontology.org/formats/oboInOwl#"
+NCIT = "http://ncicb.nci.nih.gov/xml/owl/EVS/Thesaurus.owl#"
+EFO_NS = "http://www.ebi.ac.uk/efo/"
+IAO_DEF = "http://purl.obolibrary.org/obo/IAO_0000115"
+OWL_THING = OWL + "Thing"
+
+_LABEL_PROPS = {f"{{{RDFS}}}label", f"{{{SKOS}}}prefLabel"}
+_SYNONYM_PROPS = {
+    f"{{{OBOINOWL}}}hasExactSynonym",
+    f"{{{NCIT}}}P90",
+    f"{{{EFO_NS}}}alternative_term",
+}
+_DEFINITION_PROPS = {f"{{{SKOS}}}definition", "{" + IAO_DEF.rsplit("/", 1)[0] + "/}" + "IAO_0000115"}
+_PROPERTY_TAGS = {
+    f"{{{OWL}}}ObjectProperty",
+    f"{{{OWL}}}DatatypeProperty",
+    f"{{{OWL}}}AnnotationProperty",
+}
+
+
+def _frag(iri: str) -> str:
+    if "#" in iri:
+        return iri.split("#")[1]
+    return iri.rsplit("/", 1)[-1]
+
+
+def parse_owl(path: str) -> list[dict]:
+    """Parse an RDF/XML OWL file into onto_terms-shaped rows (see
+    ``ontology.ONTO_TERMS_SCHEMA``)."""
+    tree = ET.parse(path)
+    root = tree.getroot()
+    about_attr = f"{{{RDF}}}about"
+    resource_attr = f"{{{RDF}}}resource"
+
+    terms: dict[str, dict] = {}
+    instances_of: dict[str, list[str]] = {}  # class_iri -> [instance iris]
+    instance_labels: dict[str, str] = {}
+
+    def get_term(iri: str, term_type: str) -> dict:
+        t = terms.get(iri)
+        if t is None:
+            t = {
+                "iri": iri,
+                "labels": [],
+                "synonyms": [],
+                "definitions": [],
+                "parents": {},
+                "children": {},
+                "instances": {},
+                "restrictions": {},
+                "deprecated": False,
+                "term_type": term_type,
+            }
+            terms[iri] = t
+        return t
+
+    def parse_parents(node: ET.Element, term: dict) -> None:
+        for sub in list(node.findall(f"{{{RDFS}}}subClassOf")) + list(
+            node.findall(f"{{{RDFS}}}subPropertyOf")
+        ):
+            res = sub.get(resource_attr)
+            if res:
+                if res != OWL_THING:
+                    term["parents"][res] = ""
+                continue
+            for restriction in sub.findall(f"{{{OWL}}}Restriction"):
+                on_prop = restriction.find(f"{{{OWL}}}onProperty")
+                filler = restriction.find(f"{{{OWL}}}someValuesFrom")
+                if on_prop is not None and filler is not None:
+                    p = on_prop.get(resource_attr)
+                    f = filler.get(resource_attr)
+                    if p and f:
+                        term["restrictions"][p] = f
+            for cls in sub.findall(f"{{{OWL}}}Class"):
+                inter = cls.find(f"{{{OWL}}}intersectionOf")
+                if inter is not None:
+                    for member in inter.findall(f"{{{OWL}}}Class"):
+                        res2 = member.get(about_attr) or member.get(resource_attr)
+                        if res2 and res2 != OWL_THING:
+                            term["parents"][res2] = ""
+
+    def parse_common(node: ET.Element, term: dict) -> None:
+        for child in node:
+            tag, txt = child.tag, (child.text or "").strip()
+            if tag in _LABEL_PROPS and txt and txt not in term["labels"]:
+                term["labels"].append(txt)
+            elif tag in _SYNONYM_PROPS and txt and txt not in term["synonyms"]:
+                term["synonyms"].append(txt)
+            elif (
+                tag == f"{{{SKOS}}}definition"
+                or child.get(about_attr) == IAO_DEF
+                or tag.endswith("IAO_0000115")
+            ) and txt and txt not in term["definitions"]:
+                term["definitions"].append(txt)
+            elif tag == f"{{{OWL}}}deprecated" and txt.lower() == "true":
+                term["deprecated"] = True
+
+    for node in root:
+        iri = node.get(about_attr)
+        if not iri:
+            continue
+        if node.tag == f"{{{OWL}}}Class":
+            t = get_term(iri, OntologyTermType.CLASS)
+            parse_common(node, t)
+            parse_parents(node, t)
+        elif node.tag in _PROPERTY_TAGS:
+            t = get_term(iri, OntologyTermType.PROPERTY)
+            parse_common(node, t)
+            parse_parents(node, t)
+        elif node.tag == f"{{{OWL}}}NamedIndividual":
+            label = ""
+            for child in node:
+                if child.tag in _LABEL_PROPS and child.text:
+                    label = child.text.strip()
+                    break
+            for typ in node.findall(f"{{{RDF}}}type"):
+                res = typ.get(resource_attr)
+                if res:
+                    instances_of.setdefault(res, []).append(iri)
+            instance_labels[iri] = label
+
+    # label fallback + relation label resolution (reference onto_utils.py:65-69)
+    for t in terms.values():
+        if not t["labels"]:
+            t["labels"] = [_frag(t["iri"])]
+    for t in terms.values():
+        t["parents"] = {
+            p: (terms[p]["labels"][0] if p in terms else _frag(p))
+            for p in t["parents"]
+        }
+        for p_iri in t["parents"]:
+            if p_iri in terms:
+                terms[p_iri]["children"][t["iri"]] = t["labels"][0]
+        for cls_iri, insts in instances_of.items():
+            if cls_iri == t["iri"]:
+                for i in insts:
+                    t["instances"][i] = instance_labels.get(i) or _frag(i)
+    return list(terms.values())
+
+
+def write_owl(rows: list[dict], path: str, ontology_iri: str = "") -> None:
+    """Serialize onto_terms rows to the RDF/XML subset ``parse_owl`` reads."""
+    out = [
+        '<?xml version="1.0"?>',
+        f'<rdf:RDF xmlns:rdf="{RDF}" xmlns:rdfs="{RDFS}" xmlns:owl="{OWL}"',
+        f'         xmlns:skos="{SKOS}" xmlns:oboInOwl="{OBOINOWL}">',
+    ]
+    if ontology_iri:
+        out.append(f'  <owl:Ontology rdf:about="{escape(ontology_iri)}"/>')
+    instance_rows = []
+    for r in rows:
+        tag = (
+            "owl:Class"
+            if r["term_type"] == OntologyTermType.CLASS
+            else "owl:ObjectProperty"
+        )
+        out.append(f'  <{tag} rdf:about="{escape(r["iri"])}">')
+        for i, lbl in enumerate(r["labels"]):
+            prop = "rdfs:label" if i == 0 else "skos:prefLabel"
+            out.append(f"    <{prop}>{escape(lbl)}</{prop}>")
+        for syn in r["synonyms"]:
+            out.append(
+                f"    <oboInOwl:hasExactSynonym>{escape(syn)}"
+                "</oboInOwl:hasExactSynonym>"
+            )
+        for d in r["definitions"]:
+            out.append(f"    <skos:definition>{escape(d)}</skos:definition>")
+        sub = (
+            "rdfs:subClassOf"
+            if r["term_type"] == OntologyTermType.CLASS
+            else "rdfs:subPropertyOf"
+        )
+        for p in r["parents"]:
+            out.append(f'    <{sub} rdf:resource="{escape(p)}"/>')
+        for prop, filler in r.get("restrictions", {}).items():
+            out.append(f"    <{sub}>")
+            out.append("      <owl:Restriction>")
+            out.append(f'        <owl:onProperty rdf:resource="{escape(prop)}"/>')
+            out.append(
+                f'        <owl:someValuesFrom rdf:resource="{escape(filler)}"/>'
+            )
+            out.append("      </owl:Restriction>")
+            out.append(f"    </{sub}>")
+        if r["deprecated"]:
+            out.append(
+                '    <owl:deprecated rdf:datatype='
+                '"http://www.w3.org/2001/XMLSchema#boolean">true'
+                "</owl:deprecated>"
+            )
+        out.append(f"  </{tag}>")
+        for inst_iri, inst_label in r.get("instances", {}).items():
+            instance_rows.append((inst_iri, inst_label, r["iri"]))
+    for inst_iri, inst_label, cls_iri in instance_rows:
+        out.append(f'  <owl:NamedIndividual rdf:about="{escape(inst_iri)}">')
+        out.append(f'    <rdf:type rdf:resource="{escape(cls_iri)}"/>')
+        if inst_label:
+            out.append(f"    <rdfs:label>{escape(inst_label)}</rdfs:label>")
+        out.append("  </owl:NamedIndividual>")
+    out.append("</rdf:RDF>")
+    with open(path, "w") as f:
+        f.write("\n".join(out))

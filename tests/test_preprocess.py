@@ -1,0 +1,101 @@
+"""F2 template extract, F3 blocklist, F4 dedup, tagged-file parsing, CSV/
+list scans (reference ``preprocess.py``, ``onto_utils.py:112-135``)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ontology_mapper_spark.sources.terms import (
+    mentions_from_csv,
+    mentions_from_file,
+    mentions_from_list,
+    parse_tagged_terms_file,
+    preprocess_mentions,
+)
+
+
+@pytest.mark.spark
+def test_template_extract_first_match_wins(spark):
+    m = mentions_from_list(
+        spark,
+        [
+            "Age when diagnosed with asthma",
+            "History of colon disease",
+            "plain term",
+        ],
+    )
+    out = preprocess_mentions(
+        m,
+        templates=[r"Age when diagnosed with (.*)", r"History of (.*)"],
+        template_tags=[["age", "diagnosis"], ["history"]],
+    )
+    rows = {r["source_term"]: r["tags"] for r in out.collect()}
+    assert set(rows) == {"asthma", "colon disease", "plain term"}
+    assert rows["asthma"] == ["age", "diagnosis"]
+    assert rows["colon disease"] == ["history"]
+    assert rows["plain term"] is None  # implicit (.*) template, no tags
+
+
+@pytest.mark.spark
+def test_template_multi_group_join(spark):
+    m = mentions_from_list(spark, ["asthma attack in 2001"])
+    out = preprocess_mentions(m, templates=[r"(\w+) attack in (\d+)"])
+    assert [r["source_term"] for r in out.collect()] == ["asthma 2001"]
+
+
+@pytest.mark.spark
+def test_blocklist_drop_and_char(spark):
+    m = mentions_from_list(spark, ["asthma", "DELETED", "allergy"])
+    dropped = preprocess_mentions(m, blocklist=[r"DELETED"])
+    assert {r["source_term"] for r in dropped.collect()} == {"asthma", "allergy"}
+    replaced = preprocess_mentions(m, blocklist=[r"DELETED"], blocklist_char="-")
+    assert sorted(r["source_term"] for r in replaced.collect()) == [
+        "-", "allergy", "asthma",
+    ]
+
+
+@pytest.mark.spark
+def test_dedup_keeps_first(spark):
+    m = mentions_from_list(spark, ["asthma", "asthma", "allergy"])
+    out = preprocess_mentions(m, rem_duplicates=True)
+    assert out.count() == 2
+
+
+@pytest.mark.spark
+def test_empty_extraction_dropped(spark):
+    # a template matching with an empty group joins to "" -> row dropped
+    m = mentions_from_list(spark, ["prefix-", "prefix-x"])
+    out = preprocess_mentions(m, templates=[r"prefix-(.*)"])
+    assert [r["source_term"] for r in out.collect()] == ["x"]
+
+
+def test_parse_tagged_terms_file(tmp_path):
+    p = tmp_path / "tagged.txt"
+    p.write_text("asthma;:;disease\nacute bronchitis;:;important,tags\ncolon disease\n")
+    d = parse_tagged_terms_file(str(p))
+    assert d == {
+        "asthma": ["disease"],
+        "acute bronchitis": ["important", "tags"],
+        "colon disease": None,
+    }
+
+
+@pytest.mark.spark
+def test_file_and_csv_scan(spark, tmp_path):
+    lst = tmp_path / "terms.txt"
+    lst.write_text("asthma\nacute bronchitis\n")
+    m = mentions_from_file(spark, str(lst))
+    assert {r["source_term"] for r in m.collect()} == {"asthma", "acute bronchitis"}
+    assert all(r["source_term_id"].startswith("http://ccb.hms.harvard.edu/t2t/R")
+               for r in m.collect())
+
+    csv = tmp_path / "terms.csv"
+    csv.write_text("term,term_id\nasthma,ID1\nallergy,\n,ID3\n")
+    # rows null in term or id dropped (reference dropna on both columns)
+    got = mentions_from_csv(spark, str(csv), "term", "term_id")
+    rows = {r["source_term"]: r["source_term_id"] for r in got.collect()}
+    assert rows == {"asthma": "ID1"}
+    # no id column name -> generated ids, only term-null rows dropped
+    got2 = mentions_from_csv(spark, str(csv), "term")
+    assert {r["source_term"] for r in got2.collect()} == {"asthma", "allergy"}
+    with pytest.raises(ValueError):
+        mentions_from_csv(spark, str(csv), "nonexistent")
