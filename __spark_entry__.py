@@ -245,6 +245,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["broadcast_dim_join"] = broadcast_dim_join
 
+    def events_windowed(spark, sf):
+        # event-time tumbling windows — the batch twin of
+        # streaming.ingest.mention_rate's watermarked aggregation
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        return (
+            ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 2).alias("sum_value"),
+            )
+            .select(
+                F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                    "window_start"
+                ),
+                "event_type",
+                "n_events",
+                "sum_value",
+            )
+        )
+
+    q["events_windowed"] = events_windowed
+
     # ---------------- engine-only (no SQL oracle -> rows-only check)
 
     def kg_pages_triples(spark, sf):
@@ -636,6 +658,13 @@ inst(src, dst) AS (
 SELECT src, dst, 'IS_A' AS label FROM is_a
 UNION ALL
 SELECT src, dst, 'INSTANCE_OF' AS label FROM inst"""
+
+    o["events_windowed"] = """
+SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2"""
 
     o["topk_per_group"] = """
 SELECT l_orderkey, l_linenumber, l_extendedprice, rk FROM (

@@ -285,7 +285,10 @@ def tfidf_map_inverted_index(
         (F.log((F.lit(1.0) + F.lit(float(n_src))) / (1 + F.count(F.lit(1)))) + 1.0)
         .alias("idf")
     )
-    src_w = src_tf.join(src_idf, "ngram").withColumn("w", F.col("tf") * F.col("idf"))
+    # idf is keyed by ngram — bounded by the trigram space, always broadcast
+    src_w = src_tf.join(F.broadcast(src_idf), "ngram").withColumn(
+        "w", F.col("tf") * F.col("idf")
+    )
     src_norm = src_w.groupBy("source_term_id").agg(
         F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
     )
@@ -312,11 +315,13 @@ def tfidf_map_inverted_index(
         (F.log((F.lit(1.0) + F.lit(float(n_tgt))) / (1 + F.count(F.lit(1)))) + 1.0)
         .alias("idf")
     )
-    tgt_w = tgt_tf.join(tgt_idf, "ngram").withColumn("w", F.col("tf") * F.col("idf"))
+    tgt_w = tgt_tf.join(F.broadcast(tgt_idf), "ngram").withColumn(
+        "w", F.col("tf") * F.col("idf")
+    )
     tgt_norm = tgt_w.groupBy("label_id").agg(
         F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
     )
-    tgt_vec = tgt_w.join(tgt_norm, "label_id").select(
+    tgt_vec = tgt_w.join(F.broadcast(tgt_norm), "label_id").select(
         "label_id",
         "iri",
         "display_label",
