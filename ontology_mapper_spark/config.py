@@ -82,6 +82,11 @@ class MappingConfig:
     ntop: int = 50  # tfidf_mapper.py:55 candidate cap per mention
     # Engine-only scale knobs (no reference equivalent):
     use_inverted_index: bool = False  # False => broadcast-CSR mapInPandas path
+    stop_ngram_df_fraction: float | None = None  # inverted index: drop target
+    # postings for n-grams present in more than this fraction of labels.
+    # Their IDF is near zero, so they carry negligible score mass but cause
+    # the worst join fan-out (skew). Off by default (exact semantics);
+    # re-validate P/R when enabling (tests/test_precision_recall.py).
     candidate_prefilter: bool = True  # syntactic mappers: restrict cross join
     # via TF-IDF candidates at scale (SURVEY.md §4); tests at fixture scale
     # run the exact O(n*m) semantics when this is False.

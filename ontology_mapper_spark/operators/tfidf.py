@@ -22,7 +22,17 @@ Two physically different plans, identical results (tests assert equality):
   (DuckDB oracle parity) and the fallback when the ontology outgrows a
   broadcast. One shuffle: the (mention, label) score aggregate; skew on
   stop-ngrams is handled by AQE skew-join + the fact that near-zero-IDF
-  postings contribute negligible score mass.
+  postings contribute negligible score mass (and the optional
+  ``stop_ngram_df_fraction`` valve drops them outright).
+
+Deliberate deviation from the reference: ``_get_mappings``
+(``tfidf_mapper.py:68-73``) shares its per-term IRI budget across
+*adjacent duplicate* source terms (consecutive rows with the same string
+re-use the ``top_mappings`` set), so a duplicated input term silently gets
+no mappings for its second occurrence. Web-scale mentions repeat massively;
+this engine maps every mention row independently (duplicates memoized, not
+suppressed). P/R vs the reference is computed on deduplicated term lists
+where the quirk cannot fire.
 """
 
 from __future__ import annotations
@@ -328,6 +338,19 @@ def tfidf_map_inverted_index(
         "ngram",
         (F.col("w") / F.col("nrm")).alias("wt"),
     )
+    if cfg.stop_ngram_df_fraction is not None:
+        # skew valve: hot n-grams (df above the cutoff) dominate join
+        # fan-out while contributing ~zero score mass (IDF -> ln(1)+1 ~ 1,
+        # l2-normalized weight spread across thousands of labels). AQE
+        # skew-join still covers residual hot keys.
+        cutoff = cfg.stop_ngram_df_fraction * n_tgt
+        hot = (
+            tgt_vec.groupBy("ngram")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > cutoff)
+            .select("ngram")
+        )
+        tgt_vec = tgt_vec.join(F.broadcast(hot), "ngram", "left_anti")
 
     scored = (
         src_vec.join(F.broadcast(tgt_vec), "ngram")

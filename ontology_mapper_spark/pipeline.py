@@ -90,14 +90,28 @@ def construct_kg(
     cfg: MappingConfig | None = None,
     langs: tuple = ("en",),
     reextract: bool = False,
+    dedup_pages: bool = False,
 ) -> DataFrame:
     """Full KG-construction flow (north_star): pages → (optional re-)extract
     → mention detection → entity linking → mapping triples. Hierarchy edges
     come from ``operators.graph.hierarchy_edges`` and are unioned by the
     caller (they are ontology-side, computed once per ontology snapshot,
-    not per page batch)."""
+    not per page batch).
+
+    ``dedup_pages``: Common-Crawl snapshots recrawl URLs — keep only the
+    newest capture per url (window max on warc_ts), so re-ingesting a later
+    snapshot cannot double-emit mention ids (they are url#ordinal)."""
+    from pyspark.sql import Window
+
     from ontology_mapper_spark.sources.pages import detect_mentions, extract_text
 
+    if dedup_pages:
+        w = Window.partitionBy("url").orderBy(F.desc("warc_ts"))
+        pages = (
+            pages.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
     if reextract:
         pages = extract_text(pages)
     mentions = detect_mentions(pages, langs=langs)

@@ -111,15 +111,18 @@ def write_mappings_partitioned(
 ) -> None:
     """Scale sink: parquet partitioned by id-hash bucket + JSON metadata
     sidecar. Iceberg-ready (swap for writeTo(...).using('iceberg'))."""
+    from ontology_mapper_spark.catalog import write_table
+
     ids, iris = _coverage(mappings)
-    (
-        mappings.withColumn(
-            "bucket", F.pmod(F.xxhash64("source_term_id"), F.lit(n_buckets))
-        )
-        .write.mode("overwrite")
-        .partitionBy("bucket")
-        .parquet(os.path.join(out_dir, "mappings"))
+    bucketed = mappings.withColumn(
+        "bucket", F.pmod(F.xxhash64("source_term_id"), F.lit(n_buckets))
     )
+    if os.environ.get("ONTOLOGY_MAPPER_CATALOG"):
+        write_table(bucketed, "kg.mappings", partition_by=["bucket"])
+    else:
+        bucketed.write.mode("overwrite").partitionBy("bucket").parquet(
+            os.path.join(out_dir, "mappings")
+        )
     meta = {
         "timestamp": datetime.datetime.now().isoformat(),
         "target_ontology": target_ontology,
