@@ -189,6 +189,8 @@ def _score_one(
         return []
     w = {g: c * src_idf.get(g, default_idf) for g, c in tf.items()}
     norm = math.sqrt(sum(v * v for v in w.values()))
+    # per-ngram fancy-index scatter-add; measured faster than bincount-over-
+    # concatenated postings and than batched outer products (memory-bound)
     scores = np.zeros(idx.n_labels, dtype=np.float64)
     hit = False
     for g, v in w.items():
