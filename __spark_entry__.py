@@ -144,6 +144,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["syntactic_levenshtein"] = synt("levenshtein")
     q["syntactic_jaccard"] = synt("jaccard")
 
+    def syntactic_jaro(spark, sf):
+        # the Arrow pandas-UDF kernel path (vs DuckDB's native jaro_similarity)
+        from ontology_mapper_spark.operators.syntactic import (
+            syntactic_map_broadcast,
+        )
+
+        cfg = MappingConfig(mapper="jaro", max_mappings=3)
+        out = syntactic_map_broadcast(
+            _mentions(spark, sf), demo_onto_labels(spark), cfg
+        )
+        return _score_milli(out).select(
+            "source_term_id", "source_term", "mapped_term_iri", "score_milli"
+        )
+
+    q["syntactic_jaro"] = syntactic_jaro
+
     def unmapped_terms(spark, sf):
         # higher threshold so the anti-join path is non-trivially exercised
         cfg = MappingConfig(min_score=0.7, max_mappings=3)
@@ -485,6 +501,22 @@ FROM fin"""
 sims AS (
   SELECT m.source_term_id, m.source_term, o.iri,
          max(jaccard(m.source_term, o.name)) AS sim
+  FROM mentions m CROSS JOIN onto o
+  GROUP BY 1, 2, 3
+),
+fin AS (
+  SELECT *, row_number() OVER (PARTITION BY source_term_id ORDER BY sim DESC, iri) AS rk
+  FROM sims QUALIFY rk <= 3
+)
+SELECT source_term_id, source_term, iri AS mapped_term_iri,
+       CAST(round(sim * 1000) AS INT) AS score_milli
+FROM fin"""
+
+    o["syntactic_jaro"] = f"""WITH {_MENTIONS_CTE},
+{demo_onto_values_sql()},
+sims AS (
+  SELECT m.source_term_id, m.source_term, o.iri,
+         max(jaro_similarity(m.source_term, o.name)) AS sim
   FROM mentions m CROSS JOIN onto o
   GROUP BY 1, 2, 3
 ),

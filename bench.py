@@ -185,8 +185,9 @@ def main() -> None:
     results["kg"] = kg_stats
     results["scaling"] = scaling
 
-    # ---- headline query suite at full parallelism
-    spark = get_spark("bench-suite", cores=CPUS)
+    # ---- headline query suite (capped at 16 threads: beyond the physical
+    # cores, chained Python stages oversubscribe and run *slower*)
+    spark = get_spark("bench-suite", cores=min(16, CPUS))
     times = suite(spark, SF_DIR)
     spark.stop()
     results["queries"] = times
