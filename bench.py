@@ -45,7 +45,9 @@ def _sf_from_dir(d: str) -> float:
 
 
 SF = _sf_from_dir(SF_DIR)
-N_PAGES = int(os.environ.get("BENCH_PAGES", str(max(4000, int(1_600_000 * SF)))))
+# sized so the parallel fraction dwarfs the ~4s/job serial floor (driver
+# index build + IDF collect + scheduling): ~90 core-s of work per 160k pages
+N_PAGES = int(os.environ.get("BENCH_PAGES", str(max(4000, int(2_400_000 * SF)))))
 
 
 _ONTO_PATH: list[str] = []

@@ -1,0 +1,40 @@
+"""Driver-contract shape guard: queries()/oracle_sql() alignment and
+entry() stability at sf0.001 (the full value comparison lives in
+tools/check_entry.py and the driver gate)."""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod  # noqa: E402
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_oracle_keys_subset_of_queries():
+    q = set(entrymod.queries())
+    o = set(entrymod.oracle_sql())
+    assert o <= q, f"oracle without query: {o - q}"
+    # engine-only entries are the documented three
+    assert q - o == {"kg_pages_triples", "lsh_ann_topk", "multimodal_decode"}
+
+
+@pytest.mark.spark
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.columns == [
+        "source_term_id", "source_term", "mapped_term_label",
+        "mapped_term_iri", "score_milli",
+    ]
+    assert df.count() > 0
+
+
+@pytest.mark.spark
+@pytest.mark.slow
+def test_all_queries_run_at_smoke_scale(spark):
+    for name, fn in entrymod.queries().items():
+        df = fn(spark, SF)
+        assert df.count() >= 0, name
