@@ -309,13 +309,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["lsh_ann_topk"] = lsh_ann_topk
 
     def multimodal_decode(spark, sf):
+        # documents' text bytes as the opaque media payload: lets DuckDB
+        # replicate the deterministic fake decode (sha256-derived metadata)
+        # bit-for-bit. feature: array<float> is projected to the underlying
+        # digest bytes (x*255 is exact for b/255.0 float32) so the gate's
+        # canonicalizer gets a sortable scalar (round-1 err fix).
         from ontology_mapper_spark.operators.multimodal import decode_image_features
-        from ontology_mapper_spark.sources.pages import synthesize_pages
 
-        media = synthesize_pages(spark, 100).select(
-            F.col("url").alias("media_id"), F.col("html").alias("content")
+        media = _docs(spark, sf).select(
+            F.col("doc_id").cast("string").alias("media_id"),
+            F.encode("text", "UTF-8").alias("content"),
         )
-        return decode_image_features(media)
+        out = decode_image_features(media)
+        return out.select(
+            "media_id",
+            "width",
+            "height",
+            "n_bytes",
+            "sha",
+            F.array_join(
+                F.transform(
+                    "feature",
+                    lambda x: F.round(x * 255).cast("int").cast("string"),
+                ),
+                "|",
+            ).alias("feature_bytes"),
+        )
 
     q["multimodal_decode"] = multimodal_decode
 
@@ -697,6 +716,30 @@ SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS wind
        count(*) AS n_events,
        round(sum(value), 2) AS sum_value
 FROM events GROUP BY 1, 2"""
+
+    # sha256(varchar) in DuckDB hashes the UTF-8 bytes == Spark
+    # sha2(encode(text,'UTF-8'),256); hex digits -> byte values via strpos.
+    o["multimodal_decode"] = """
+WITH m AS (
+  SELECT CAST(doc_id AS VARCHAR) AS media_id,
+         sha256(text) AS sha,
+         octet_length(encode(text)) AS n_bytes
+  FROM documents
+),
+b AS (
+  SELECT media_id, sha, n_bytes,
+         list_transform(generate_series(0, 7), i ->
+           (strpos('0123456789abcdef', substring(sha, 2 * i + 1, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substring(sha, 2 * i + 2, 1)) - 1)) AS fb
+  FROM m
+)
+SELECT media_id,
+       64 + fb[1] AS width,
+       64 + fb[2] AS height,
+       n_bytes,
+       sha,
+       array_to_string(fb, '|') AS feature_bytes
+FROM b"""
 
     o["topk_per_group"] = """
 SELECT l_orderkey, l_linenumber, l_extendedprice, rk FROM (
