@@ -160,6 +160,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["syntactic_jaro"] = syntactic_jaro
 
+    def syntactic_prefiltered_levenshtein(spark, sf):
+        # the pipeline's web-scale syntactic plan: TF-IDF candidate
+        # generation (min_score=0.05, ntop=100) then exact-metric rescoring
+        # of only those pairs; the oracle replays the identical candidate
+        # rule in SQL, so this is hash-checked, not just P/R-checked
+        from ontology_mapper_spark.operators.syntactic import (
+            syntactic_map_prefiltered,
+        )
+
+        cfg = MappingConfig(mapper="levenshtein", max_mappings=3)
+        out = syntactic_map_prefiltered(
+            _mentions(spark, sf),
+            demo_onto_labels(spark),
+            cfg,
+            prefilter_ntop=100,
+            prefilter_min_score=0.05,
+        )
+        return _score_milli(out).select(
+            "source_term_id", "source_term", "mapped_term_iri", "score_milli"
+        )
+
+    q["syntactic_prefiltered_levenshtein"] = syntactic_prefiltered_levenshtein
+
     def unmapped_terms(spark, sf):
         # higher threshold so the anti-join path is non-trivially exercised
         cfg = MappingConfig(min_score=0.7, max_mappings=3)
@@ -546,6 +569,26 @@ fin AS (
 SELECT source_term_id, source_term, iri AS mapped_term_iri,
        CAST(round(sim * 1000) AS INT) AS score_milli
 FROM fin"""
+
+    o["syntactic_prefiltered_levenshtein"] = (
+        _tfidf_cte(min_score=0.05, max_mappings=100, ntop=100)
+        + """,
+cand AS (SELECT DISTINCT source_term_id, source_term, iri FROM final),
+resc AS (
+  SELECT c.source_term_id, c.source_term, c.iri,
+         max(1.0 - levenshtein(c.source_term, o.name)::DOUBLE /
+             greatest(length(c.source_term), length(o.name))) AS sim
+  FROM cand c JOIN onto o ON o.iri = c.iri
+  GROUP BY 1, 2, 3
+),
+fin AS (
+  SELECT *, row_number() OVER (PARTITION BY source_term_id ORDER BY sim DESC, iri) AS rk
+  FROM resc QUALIFY rk <= 3
+)
+SELECT source_term_id, source_term, iri AS mapped_term_iri,
+       CAST(round(sim * 1000) AS INT) AS score_milli
+FROM fin"""
+    )
 
     o["unmapped_terms"] = (
         _tfidf_cte(min_score=0.7)

@@ -87,9 +87,14 @@ class MappingConfig:
     # Their IDF is near zero, so they carry negligible score mass but cause
     # the worst join fan-out (skew). Off by default (exact semantics);
     # re-validate P/R when enabling (tests/test_precision_recall.py).
-    candidate_prefilter: bool = True  # syntactic mappers: restrict cross join
-    # via TF-IDF candidates at scale (SURVEY.md §4); tests at fixture scale
-    # run the exact O(n*m) semantics when this is False.
+    candidate_prefilter: bool = True  # syntactic mappers: restrict the
+    # nested-loop to TF-IDF index candidates at scale (SURVEY.md §4). The
+    # pipeline dispatches to the prefiltered plan only when the label side
+    # reaches prefilter_min_labels, so fixture-scale runs keep the exact
+    # O(n*m) reference semantics; set prefilter_min_labels=0 to force it.
+    prefilter_min_labels: int = 1000
+    prefilter_ntop: int = 100  # candidates kept per mention by the prefilter
+    prefilter_min_score: float = 0.05  # TF-IDF floor for prefilter candidates
     shuffle_partitions: int | None = None
 
     def validate(self) -> None:

@@ -88,3 +88,41 @@ def test_prefiltered_syntactic_pr(spark):
     f = {(r["source_term_id"], r["mapped_term_iri"]) for r in fast.collect()}
     precision, recall = _pr(f, e)
     assert precision >= 0.95 and recall >= 0.95, (precision, recall)
+
+
+@pytest.mark.spark
+@pytest.mark.slow
+def test_prefilter_dispatch_through_pipeline(spark):
+    """cfg.candidate_prefilter must be reachable through map_terms_df (it was
+    dead config in round 1): with prefilter_min_labels=0 the pipeline takes
+    the prefiltered plan, and its output stays P/R >= 0.95 vs the exact
+    nested-loop plan through the same pipeline API."""
+    from ontology_mapper_spark.pipeline import map_terms_df
+
+    onto = fixture_onto_terms(spark)
+    mentions = detect_mentions(synthesize_pages(spark, 150, variants=5)).select(
+        "source_term_id", "source_term", F.lit(None).cast("array<string>").alias("tags")
+    )
+    exact_cfg = MappingConfig(
+        mapper="levenshtein", max_mappings=3, min_score=0.5,
+        candidate_prefilter=False,
+    )
+    fast_cfg = MappingConfig(
+        mapper="levenshtein", max_mappings=3, min_score=0.5,
+        candidate_prefilter=True, prefilter_min_labels=0,
+    )
+    e = {
+        (r["source_term_id"], r["mapped_term_iri"])
+        for r in map_terms_df(mentions, onto, exact_cfg).collect()
+    }
+    f = {
+        (r["source_term_id"], r["mapped_term_iri"])
+        for r in map_terms_df(mentions, onto, fast_cfg).collect()
+    }
+    precision, recall = _pr(f, e)
+    assert precision >= 0.95 and recall >= 0.95, (precision, recall)
+    # the two configs must actually take different physical plans: the
+    # fixture ontology is tiny, so the default threshold keeps exact
+    default_cfg = MappingConfig(mapper="levenshtein", max_mappings=3)
+    assert default_cfg.candidate_prefilter is True
+    assert default_cfg.prefilter_min_labels > 100  # fixture stays exact
