@@ -61,11 +61,50 @@ def test_dedup_keeps_first(spark):
 
 
 @pytest.mark.spark
-def test_empty_extraction_dropped(spark):
-    # a template matching with an empty group joins to "" -> row dropped
-    m = mentions_from_list(spark, ["prefix-", "prefix-x"])
+def test_empty_extraction_falls_through(spark):
+    # a template matching with an empty capture join does NOT consume the
+    # term: it falls through to the implicit (.*) and survives unchanged
+    # (reference preprocess.py:84-88 breaks only when combined_matches is
+    # non-empty); only the empty term itself is dropped
+    m = mentions_from_list(spark, ["prefix-", "prefix-x", ""])
     out = preprocess_mentions(m, templates=[r"prefix-(.*)"])
-    assert [r["source_term"] for r in out.collect()] == ["x"]
+    assert sorted(r["source_term"] for r in out.collect()) == ["prefix-", "x"]
+
+
+@pytest.mark.spark
+def test_original_term_carried(spark):
+    # TaggedTerm parity: both processed and original strings survive
+    m = mentions_from_list(spark, ["Age when diagnosed with asthma", "plain"])
+    out = preprocess_mentions(m, templates=[r"Age when diagnosed with (.*)"])
+    rows = {r["source_term"]: r["original_term"] for r in out.collect()}
+    assert rows == {
+        "asthma": "Age when diagnosed with asthma",
+        "plain": "plain",
+    }
+
+
+@pytest.mark.spark
+def test_file_ids_partition_stable(spark, tmp_path):
+    # same file read at different parallelism must yield the same ID set
+    # (mirrors the reference's determinism pain, simple_tests.py:237-240)
+    lst = tmp_path / "many.txt"
+    terms = [f"term number {i % 400}" for i in range(4000)]  # incl. duplicates
+    lst.write_text("\n".join(terms) + "\n")
+
+    def id_set(max_bytes):
+        old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(max_bytes))
+        try:
+            df = mentions_from_file(spark, str(lst))
+            n_parts = df.rdd.getNumPartitions()
+            return {r["source_term_id"] for r in df.collect()}, n_parts
+        finally:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+    ids_one, _ = id_set(128 * 1024 * 1024)
+    ids_many, _ = id_set(2 * 1024)  # force a many-way split of the scan
+    assert len(ids_one) == 4000  # unique even across duplicate terms
+    assert ids_one == ids_many
 
 
 def test_parse_tagged_terms_file(tmp_path):
