@@ -36,28 +36,52 @@ ONTOLOGY_IRIS = {
 }
 
 
+_OBO_RE = r"^http://purl\.obolibrary\.org/obo/([A-Za-z][A-Za-z0-9]*)_([A-Za-z0-9.]+)$"
+_IDORG_RE = r"^https?://identifiers\.org/([A-Za-z][A-Za-z0-9._]*)[:/]([A-Za-z0-9._-]+)$"
+_LOCAL_ID_RE = r"^[A-Za-z0-9._-]+$"
+
+
 def curie_from_iri_col(iri: Column) -> Column:
     """bioregistry-shaped CURIE, uppercased; "" when unresolvable
-    (reference ``onto_utils.py:56-62``, ``term_mapping.py:39-42``)."""
-    obo = F.regexp_extract(iri, r"^http://purl\.obolibrary\.org/obo/([A-Za-z]+)_([A-Za-z0-9.]+)$", 0)
+    (reference ``onto_utils.py:56-62``, ``term_mapping.py:39-42``).
+
+    Table-driven from ``registry_snapshot``: two *generic* rules cover the
+    pattern-shaped registries (every OBO Foundry PURL — several hundred
+    prefixes — and identifiers.org), then ``PREFIX_SNAPSHOT`` enumerates
+    opaque namespaces (BioPortal PURLs, SNOMED, MeSH, UMLS, Wikidata, ...)
+    longest-prefix-first. All native when/regexp expressions — no UDF, one
+    codegen'd projection."""
+    from ontology_mapper_spark.functions.registry_snapshot import PREFIX_SNAPSHOT
+
     obo_curie = F.concat_ws(
         ":",
-        F.upper(F.regexp_extract(iri, r"^http://purl\.obolibrary\.org/obo/([A-Za-z]+)_([A-Za-z0-9.]+)$", 1)),
-        F.regexp_extract(iri, r"^http://purl\.obolibrary\.org/obo/([A-Za-z]+)_([A-Za-z0-9.]+)$", 2),
+        F.regexp_extract(iri, _OBO_RE, 1),
+        F.regexp_extract(iri, _OBO_RE, 2),
     )
-    efo = F.regexp_extract(iri, r"^http://www\.ebi\.ac\.uk/efo/EFO_([A-Za-z0-9.]+)$", 1)
-    orpha = F.regexp_extract(iri, r"^http://www\.orpha\.net/ORDO/Orphanet_([0-9]+)$", 1)
-    omim = F.regexp_extract(iri, r"^http://purl\.bioontology\.org/ontology/OMIM/([A-Za-z0-9.]+)$", 1)
-    snomed = F.regexp_extract(iri, r"^http://snomed\.info/id/([0-9]+)$", 1)
-    return (
-        F.when(iri.isNull() | (iri == ""), F.lit(""))
-        .when(obo != "", F.upper(obo_curie))
-        .when(efo != "", F.concat(F.lit("EFO:"), F.upper(efo)))
-        .when(orpha != "", F.concat(F.lit("ORPHANET:"), orpha))
-        .when(omim != "", F.concat(F.lit("OMIM:"), F.upper(omim)))
-        .when(snomed != "", F.concat(F.lit("SNOMEDCT:"), snomed))
-        .otherwise(F.lit(""))
+    expr = F.when(iri.isNull() | (iri == ""), F.lit(""))
+    expr = expr.when(
+        F.regexp_extract(iri, _OBO_RE, 0) != "", F.upper(obo_curie)
     )
+    for iri_prefix, curie_prefix in sorted(
+        PREFIX_SNAPSHOT, key=lambda r: len(r[0]), reverse=True
+    ):
+        local = F.substring(iri, len(iri_prefix) + 1, 2048)
+        expr = expr.when(
+            iri.startswith(iri_prefix) & local.rlike(_LOCAL_ID_RE),
+            F.upper(F.concat(F.lit(curie_prefix + ":"), local)),
+        )
+    # generic identifiers.org fallback (after the specific snapshot rows)
+    expr = expr.when(
+        F.regexp_extract(iri, _IDORG_RE, 0) != "",
+        F.upper(
+            F.concat_ws(
+                ":",
+                F.regexp_extract(iri, _IDORG_RE, 1),
+                F.regexp_extract(iri, _IDORG_RE, 2),
+            )
+        ),
+    )
+    return expr.otherwise(F.lit(""))
 
 
 def label_from_iri_col(iri: Column) -> Column:
