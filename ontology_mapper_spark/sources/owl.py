@@ -67,11 +67,37 @@ def _frag(iri: str) -> str:
     return iri.rsplit("/", 1)[-1]
 
 
-def parse_owl(path: str) -> list[dict]:
+def _resolve_import(iri: str, base_dir: str) -> str | None:
+    """Resolve an ``owl:imports`` target to a local file, offline-only:
+    file:// URIs, paths relative to the importing file, or a same-directory
+    basename match for http(s) IRIs (the standard local-catalog convention).
+    Returns None when unresolvable (no network in this engine — the
+    reference downloads imports through owlready2, ``term_collector.py:
+    343-346``)."""
+    import os
+
+    if iri.startswith("file://"):
+        p = iri[len("file://"):]
+        return p if os.path.exists(p) else None
+    if not iri.startswith(("http://", "https://")):
+        p = iri if os.path.isabs(iri) else os.path.join(base_dir, iri)
+        return p if os.path.exists(p) else None
+    candidate = os.path.join(base_dir, iri.rstrip("/").rsplit("/", 1)[-1])
+    return candidate if os.path.exists(candidate) else None
+
+
+def parse_owl(path: str, follow_imports: bool = True) -> list[dict]:
     """Parse an RDF/XML OWL file into onto_terms-shaped rows (see
-    ``ontology.ONTO_TERMS_SCHEMA``)."""
-    tree = ET.parse(path)
-    root = tree.getroot()
+    ``ontology.ONTO_TERMS_SCHEMA``).
+
+    ``follow_imports``: walk the ``owl:imports`` closure (cycle-safe) the
+    way the reference's signature enumeration includes imported ontologies'
+    classes and properties (``term_collector.py:53-60``); imports that
+    cannot be resolved to a local file are skipped (offline engine).
+    Label fallback and parent/child resolution run once over the merged
+    term set, so cross-file subclass edges resolve labels correctly."""
+    import os
+
     about_attr = f"{{{RDF}}}about"
     resource_attr = f"{{{RDF}}}resource"
 
@@ -97,6 +123,33 @@ def parse_owl(path: str) -> list[dict]:
             terms[iri] = t
         return t
 
+    def add_restriction(restriction: ET.Element, term: dict) -> None:
+        on_prop = restriction.find(f"{{{OWL}}}onProperty")
+        filler = restriction.find(f"{{{OWL}}}someValuesFrom")
+        if on_prop is not None and filler is not None:
+            p = on_prop.get(resource_attr)
+            f = filler.get(resource_attr)
+            if p and f:
+                term["restrictions"][p] = f
+
+    def parse_intersection(cls: ET.Element, term: dict) -> None:
+        """owl:intersectionOf conjuncts: named classes -> parents,
+        restriction conjuncts -> restrictions (reference ``_get_parents``
+        handling of ``And`` expressions, ``term_collector.py:104-110``)."""
+        inter = cls.find(f"{{{OWL}}}intersectionOf")
+        if inter is None:
+            return
+        for member in inter.findall(f"{{{OWL}}}Class"):
+            res2 = member.get(about_attr) or member.get(resource_attr)
+            if res2 and res2 != OWL_THING:
+                term["parents"][res2] = ""
+        for member in inter.findall(f"{{{RDF}}}Description"):
+            res2 = member.get(about_attr)
+            if res2 and res2 != OWL_THING:
+                term["parents"][res2] = ""
+        for member in inter.findall(f"{{{OWL}}}Restriction"):
+            add_restriction(member, term)
+
     def parse_parents(node: ET.Element, term: dict) -> None:
         for sub in list(node.findall(f"{{{RDFS}}}subClassOf")) + list(
             node.findall(f"{{{RDFS}}}subPropertyOf")
@@ -107,20 +160,20 @@ def parse_owl(path: str) -> list[dict]:
                     term["parents"][res] = ""
                 continue
             for restriction in sub.findall(f"{{{OWL}}}Restriction"):
-                on_prop = restriction.find(f"{{{OWL}}}onProperty")
-                filler = restriction.find(f"{{{OWL}}}someValuesFrom")
-                if on_prop is not None and filler is not None:
-                    p = on_prop.get(resource_attr)
-                    f = filler.get(resource_attr)
-                    if p and f:
-                        term["restrictions"][p] = f
+                add_restriction(restriction, term)
             for cls in sub.findall(f"{{{OWL}}}Class"):
-                inter = cls.find(f"{{{OWL}}}intersectionOf")
-                if inter is not None:
-                    for member in inter.findall(f"{{{OWL}}}Class"):
-                        res2 = member.get(about_attr) or member.get(resource_attr)
-                        if res2 and res2 != OWL_THING:
-                            term["parents"][res2] = ""
+                parse_intersection(cls, term)
+        # equivalentClass-embedded definitions (defined classes, e.g. most
+        # of EFO): named conjuncts of the equivalent intersection become
+        # parents, restriction conjuncts become restrictions — matching how
+        # owlready2 surfaces defining axioms to the reference's parent walk
+        # (``term_collector.py:93-132``). A plain named equivalent (rdf:
+        # resource, no expression) is NOT a parent and is skipped.
+        for eq in node.findall(f"{{{OWL}}}equivalentClass"):
+            for restriction in eq.findall(f"{{{OWL}}}Restriction"):
+                add_restriction(restriction, term)
+            for cls in eq.findall(f"{{{OWL}}}Class"):
+                parse_intersection(cls, term)
 
     def parse_common(node: ET.Element, term: dict) -> None:
         for child in node:
@@ -138,29 +191,55 @@ def parse_owl(path: str) -> list[dict]:
             elif tag == f"{{{OWL}}}deprecated" and txt.lower() == "true":
                 term["deprecated"] = True
 
-    for node in root:
-        iri = node.get(about_attr)
-        if not iri:
+    def process_root(root: ET.Element) -> list[str]:
+        """Extract terms from one parsed file; return its owl:imports IRIs."""
+        imports: list[str] = []
+        for node in root:
+            iri = node.get(about_attr)
+            if node.tag == f"{{{OWL}}}Ontology":
+                for imp in node.findall(f"{{{OWL}}}imports"):
+                    res = imp.get(resource_attr)
+                    if res:
+                        imports.append(res)
+                continue
+            if not iri:
+                continue
+            if node.tag == f"{{{OWL}}}Class":
+                t = get_term(iri, OntologyTermType.CLASS)
+                parse_common(node, t)
+                parse_parents(node, t)
+            elif node.tag in _PROPERTY_TAGS:
+                t = get_term(iri, OntologyTermType.PROPERTY)
+                parse_common(node, t)
+                parse_parents(node, t)
+            elif node.tag == f"{{{OWL}}}NamedIndividual":
+                label = ""
+                for child in node:
+                    if child.tag in _LABEL_PROPS and child.text:
+                        label = child.text.strip()
+                        break
+                for typ in node.findall(f"{{{RDF}}}type"):
+                    res = typ.get(resource_attr)
+                    if res:
+                        instances_of.setdefault(res, []).append(iri)
+                instance_labels[iri] = label
+        return imports
+
+    visited: set[str] = set()
+    queue = [os.path.abspath(path)]
+    while queue:
+        p = queue.pop(0)
+        if p in visited:
             continue
-        if node.tag == f"{{{OWL}}}Class":
-            t = get_term(iri, OntologyTermType.CLASS)
-            parse_common(node, t)
-            parse_parents(node, t)
-        elif node.tag in _PROPERTY_TAGS:
-            t = get_term(iri, OntologyTermType.PROPERTY)
-            parse_common(node, t)
-            parse_parents(node, t)
-        elif node.tag == f"{{{OWL}}}NamedIndividual":
-            label = ""
-            for child in node:
-                if child.tag in _LABEL_PROPS and child.text:
-                    label = child.text.strip()
-                    break
-            for typ in node.findall(f"{{{RDF}}}type"):
-                res = typ.get(resource_attr)
-                if res:
-                    instances_of.setdefault(res, []).append(iri)
-            instance_labels[iri] = label
+        visited.add(p)
+        root = ET.parse(p).getroot()
+        for imp_iri in process_root(root):
+            if not follow_imports:
+                continue
+            resolved = _resolve_import(imp_iri, os.path.dirname(p))
+            if resolved is not None:
+                queue.append(os.path.abspath(resolved))
+            # unresolvable (remote) import: skipped — offline engine
 
     # label fallback + relation label resolution (reference onto_utils.py:65-69)
     for t in terms.values():

@@ -47,6 +47,112 @@ def test_owl_round_trip(owl_file):
     assert n_class == 25 and n_prop == 6 and len(parsed) == 31
 
 
+_MAIN_OWL = """<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+         xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#"
+         xmlns:owl="http://www.w3.org/2002/07/owl#">
+  <owl:Ontology rdf:about="http://example.org/main">
+    <owl:imports rdf:resource="imported.owl"/>
+    <owl:imports rdf:resource="http://example.org/ontologies/remote-dep.owl"/>
+    <owl:imports rdf:resource="http://example.org/ontologies/unreachable.owl"/>
+  </owl:Ontology>
+  <owl:Class rdf:about="http://example.org/main#Pancreatitis">
+    <rdfs:label>pancreatitis</rdfs:label>
+    <rdfs:subClassOf rdf:resource="http://example.org/imported#Disease"/>
+    <owl:equivalentClass>
+      <owl:Class>
+        <owl:intersectionOf rdf:parseType="Collection">
+          <owl:Class rdf:about="http://example.org/imported#InflammatoryDisease"/>
+          <owl:Restriction>
+            <owl:onProperty rdf:resource="http://example.org/main#hasLocation"/>
+            <owl:someValuesFrom rdf:resource="http://example.org/main#Pancreas"/>
+          </owl:Restriction>
+        </owl:intersectionOf>
+      </owl:Class>
+    </owl:equivalentClass>
+  </owl:Class>
+  <owl:Class rdf:about="http://example.org/main#Pancreas">
+    <rdfs:label>pancreas</rdfs:label>
+    <owl:equivalentClass rdf:resource="http://example.org/other#PancreasOrgan"/>
+  </owl:Class>
+  <owl:ObjectProperty rdf:about="http://example.org/main#hasLocation">
+    <rdfs:label>has location</rdfs:label>
+  </owl:ObjectProperty>
+</rdf:RDF>
+"""
+
+_IMPORTED_OWL = """<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+         xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#"
+         xmlns:owl="http://www.w3.org/2002/07/owl#">
+  <owl:Ontology rdf:about="http://example.org/imported">
+    <owl:imports rdf:resource="main.owl"/>
+  </owl:Ontology>
+  <owl:Class rdf:about="http://example.org/imported#Disease">
+    <rdfs:label>disease</rdfs:label>
+  </owl:Class>
+  <owl:Class rdf:about="http://example.org/imported#InflammatoryDisease">
+    <rdfs:label>inflammatory disease</rdfs:label>
+    <rdfs:subClassOf rdf:resource="http://example.org/imported#Disease"/>
+  </owl:Class>
+</rdf:RDF>
+"""
+
+_REMOTE_DEP_OWL = """<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+         xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#"
+         xmlns:owl="http://www.w3.org/2002/07/owl#">
+  <owl:Class rdf:about="http://example.org/remote#Organ">
+    <rdfs:label>organ</rdfs:label>
+  </owl:Class>
+  <owl:DatatypeProperty rdf:about="http://example.org/remote#hasCode">
+    <rdfs:label>has code</rdfs:label>
+  </owl:DatatypeProperty>
+</rdf:RDF>
+"""
+
+
+def test_owl_imports_and_equivalent_class(tmp_path):
+    """owl:imports closure (relative + basename-resolved http + skipped
+    unreachable, cycle-safe) and equivalentClass-embedded restrictions —
+    reference term_collector.py:53-60 (imports) and 93-132 (And/Restriction
+    parents). Counts hand-computed, shaped like simple_tests.py:166-196."""
+    (tmp_path / "main.owl").write_text(_MAIN_OWL)
+    (tmp_path / "imported.owl").write_text(_IMPORTED_OWL)
+    (tmp_path / "remote-dep.owl").write_text(_REMOTE_DEP_OWL)
+
+    rows = {r["iri"]: r for r in parse_owl(str(tmp_path / "main.owl"))}
+    # 3 main (2 classes + 1 property) + 2 imported + 2 basename-resolved
+    # remote (1 class + 1 property); unreachable.owl skipped cleanly
+    assert len(rows) == 7
+    n_class = sum(1 for r in rows.values() if r["term_type"] == "class")
+    n_prop = sum(1 for r in rows.values() if r["term_type"] == "property")
+    assert (n_class, n_prop) == (5, 2)
+
+    panc = rows["http://example.org/main#Pancreatitis"]
+    # named equivalentClass conjunct -> parent, alongside the asserted one,
+    # with labels resolved across files
+    assert panc["parents"] == {
+        "http://example.org/imported#Disease": "disease",
+        "http://example.org/imported#InflammatoryDisease": "inflammatory disease",
+    }
+    # restriction conjunct -> restrictions map
+    assert panc["restrictions"] == {
+        "http://example.org/main#hasLocation": "http://example.org/main#Pancreas"
+    }
+    # plain named equivalent is NOT a parent
+    assert rows["http://example.org/main#Pancreas"]["parents"] == {}
+    # children derived across the merged set
+    dis = rows["http://example.org/imported#Disease"]
+    assert set(dis["children"]) == {
+        "http://example.org/main#Pancreatitis",
+        "http://example.org/imported#InflammatoryDisease",
+    }
+    # follow_imports=False parses only the one file
+    solo = parse_owl(str(tmp_path / "main.owl"), follow_imports=False)
+    assert len(solo) == 3
+
+
 @pytest.mark.spark
 def test_owl_mapping_equals_fixture_mapping(spark, owl_file):
     from ontology_mapper_spark.pipeline import map_terms
