@@ -219,15 +219,26 @@ def _score_one(
 
 
 def tfidf_map_broadcast(
-    mentions: DataFrame, onto_labels: DataFrame, cfg: MappingConfig
+    mentions: DataFrame,
+    onto_labels: DataFrame,
+    cfg: MappingConfig,
+    source_idf: tuple[dict, int] | None = None,
 ) -> DataFrame:
     """Scale path: broadcast target index, map-side Arrow-batched scoring.
 
     ``mentions`` needs columns (source_term_id, source_term). Returns
     candidate mappings (unrounded scores; post-processing in pipeline.py).
+
+    ``source_idf``: precomputed ``source_idf_map`` result; pass it when
+    scoring a *slice* of a corpus (e.g. one checkpoint bucket) so the IDF
+    stays corpus-global and bucketed output equals an unbucketed run.
     """
     spark = mentions.sparkSession
-    src_idf, n_docs = source_idf_map(mentions, cfg.ngram_length)
+    src_idf, n_docs = (
+        source_idf
+        if source_idf is not None
+        else source_idf_map(mentions, cfg.ngram_length)
+    )
     default_idf = math.log(float(1 + n_docs)) + 1.0  # df=0 fallback
     idx = build_target_index(onto_labels, cfg.ngram_length)
     b_idx = spark.sparkContext.broadcast(idx)

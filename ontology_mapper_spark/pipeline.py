@@ -38,10 +38,16 @@ def map_terms_df(
     mentions: DataFrame,
     onto_terms: DataFrame,
     cfg: MappingConfig | None = None,
+    tfidf_source_idf: tuple[dict, int] | None = None,
 ) -> DataFrame:
     """mentions(source_term_id, source_term, tags) x onto_terms -> mappings
     (source_term_id, source_term, mapped_term_label, mapped_term_curie,
-    mapped_term_iri, mapping_score, tags)."""
+    mapped_term_iri, mapping_score, tags).
+
+    ``tfidf_source_idf``: precomputed whole-corpus IDF (see
+    ``operators.tfidf.source_idf_map``) for slice-wise execution — used by
+    ``CheckpointedRun`` prepare_fn so per-bucket runs score against the
+    global corpus statistics."""
     cfg = cfg or MappingConfig()
     cfg.validate()
     onto = filter_terms_df(
@@ -61,8 +67,12 @@ def map_terms_df(
 
     to_map = post.filter_ignored(mentions)
     if cfg.mapper == Mapper.TFIDF:
-        impl = tfidf_map_inverted_index if cfg.use_inverted_index else tfidf_map_broadcast
-        candidates = impl(to_map, labels, cfg)
+        if cfg.use_inverted_index:
+            candidates = tfidf_map_inverted_index(to_map, labels, cfg)
+        else:
+            candidates = tfidf_map_broadcast(
+                to_map, labels, cfg, source_idf=tfidf_source_idf
+            )
     elif cfg.candidate_prefilter and _label_count(labels) >= cfg.prefilter_min_labels:
         # scale path (round-1 judge note #2): the faithful nested loop is
         # O(|distinct mentions| x |names|) — at EFO scale (75k names) the
@@ -114,6 +124,7 @@ def construct_kg(
     langs: tuple = ("en",),
     reextract: bool = False,
     dedup_pages: bool = False,
+    tfidf_source_idf: tuple[dict, int] | None = None,
 ) -> DataFrame:
     """Full KG-construction flow (north_star): pages → (optional re-)extract
     → mention detection → entity linking → mapping triples. Hierarchy edges
@@ -139,7 +150,10 @@ def construct_kg(
         pages = extract_text(pages)
     mentions = detect_mentions(pages, langs=langs)
     mappings = map_terms_df(
-        mentions.select("source_term_id", "source_term", "tags"), onto_terms, cfg
+        mentions.select("source_term_id", "source_term", "tags"),
+        onto_terms,
+        cfg,
+        tfidf_source_idf=tfidf_source_idf,
     )
     return mappings_to_triples(mappings)
 

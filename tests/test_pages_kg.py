@@ -123,6 +123,55 @@ def test_checkpointed_run_resume(spark, pages, onto, tmp_path):
 
 
 @pytest.mark.spark
+def test_checkpointed_run_bucketed_pruned_and_global_idf(spark, pages, onto, tmp_path):
+    """The executable bucket-pruning contract: pages materialized with
+    write_bucketed, each restart unit's scan touches ONLY its bucket=N
+    files; with prepare_fn computing the whole-corpus source IDF, bucketed
+    output is identical to the unbucketed pipeline (no bucket-local TF-IDF
+    drift — round-1 ADVICE #5)."""
+    from ontology_mapper_spark.checkpoints import write_bucketed
+    from ontology_mapper_spark.operators.tfidf import source_idf_map
+
+    cfg = MappingConfig(max_mappings=1)
+    src = str(tmp_path / "pages_bucketed")
+    write_bucketed(pages, "url", src, n_buckets=4)
+
+    seen_files: list[list[str]] = []
+
+    def prepare(full_pages):
+        mentions = detect_mentions(full_pages).select(
+            "source_term_id", "source_term"
+        )
+        return source_idf_map(mentions)
+
+    def build(subset, state):
+        seen_files.append(list(subset.inputFiles()))
+        return construct_kg(subset, onto, cfg, tfidf_source_idf=state)
+
+    run = CheckpointedRun(spark, str(tmp_path / "out"), n_buckets=4,
+                          input_snapshot="s1")
+    got = run.run_bucketed(src, build, prepare_fn=prepare).collect()
+
+    # every per-bucket scan read only its own bucket directory
+    assert len(seen_files) == 4
+    for b, files in enumerate(seen_files):
+        assert files, b
+        assert all(f"bucket={b}" in f for f in files), (b, files)
+
+    # bucketed+global-IDF output == plain unbucketed pipeline output
+    plain = construct_kg(pages, onto, cfg).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, plain))
+
+    # resume skips completed buckets and never rescans their files
+    seen_files.clear()
+    resumed = CheckpointedRun(spark, str(tmp_path / "out"), n_buckets=4,
+                              input_snapshot="s1")
+    again = resumed.run_bucketed(src, build, prepare_fn=prepare).collect()
+    assert seen_files == []  # all buckets already complete
+    assert sorted(map(tuple, again)) == sorted(map(tuple, plain))
+
+
+@pytest.mark.spark
 def test_csv_sink_format(spark, onto, tmp_path):
     from ontology_mapper_spark.pipeline import map_terms
 
