@@ -12,8 +12,9 @@ from dataclasses import dataclass, field
 class Mapper:
     """String-enum of mapping methods (reference `mapper.py:6-16`).
 
-    ZOOMA / BIOPORTAL are network mappers and out of scope (no network in
-    this engine); they are listed for API-parity error messages only.
+    ZOOMA / BIOPORTAL are network annotators; this offline engine runs them
+    only through an injected transport (cfg.api_transport — see
+    operators/api_mappers.py) and errors cleanly without one.
     """
 
     LEVENSHTEIN = "levenshtein"
@@ -96,14 +97,25 @@ class MappingConfig:
     prefilter_ntop: int = 100  # candidates kept per mention by the prefilter
     prefilter_min_score: float = 0.05  # TF-IDF floor for prefilter candidates
     shuffle_partitions: int | None = None
+    # Web-API mappers (S11/S12): the HTTP boundary is an injected picklable
+    # transport(url, params, headers) -> parsed JSON (operators.api_mappers);
+    # the offline engine refuses these mappers without one.
+    api_transport: object = None
+    api_ontologies: str = "all"  # comma-separated acronyms or 'all'
+    bioportal_apikey: str = ""  # reference t2t.py:31-34 bioportal_apikey
+    api_min_interval_sec: float = 0.0  # per-partition rate limit
 
     def validate(self) -> None:
         if self.mapper not in Mapper.ALL:
             raise ValueError(f"Unsupported mapper: {self.mapper}")
-        if self.mapper in {Mapper.ZOOMA, Mapper.BIOPORTAL}:
+        if self.mapper in {Mapper.ZOOMA, Mapper.BIOPORTAL} and (
+            self.api_transport is None
+        ):
             raise ValueError(
-                f"Mapper '{self.mapper}' requires network access and is not "
-                "supported by this engine (see SURVEY.md §2 S11/S12)."
+                f"Mapper '{self.mapper}' calls a network annotator; this "
+                "offline engine requires cfg.api_transport — a picklable "
+                "transport(url, params, headers) callable (see "
+                "operators/api_mappers.py; SURVEY.md §2 S11/S12)."
             )
         if self.term_type not in OntologyTermType.ALL:
             raise ValueError(f"Unsupported term_type: {self.term_type}")

@@ -1,0 +1,208 @@
+"""Web-API mappers: Zooma and BioPortal Annotator (SURVEY.md §2 S11/S12/T4).
+
+Reference semantics (``/root/reference/text2term/zooma_mapper.py:16-86``,
+``bioportal_mapper.py:21-89``): per source term, GET the annotator service
+with the *normalized* term, take the first ``max_mappings`` responses
+(T4 limit), and map confidence to a score — Zooma HIGH/GOOD/MEDIUM/LOW ->
+1.0/0.75/0.5/0.25 (else 0); BioPortal always 1 with the label resolved by a
+second GET of the annotated class's ``links.self``.
+
+This engine is offline: the HTTP boundary is an injectable, picklable
+``transport(url, params, headers) -> parsed-JSON | None`` callable. A
+production deployment passes a requests-backed transport; tests inject a
+deterministic mock. A transport may raise :class:`ApiThrottleError` to
+signal HTTP 429 — the kernel sleeps ``throttle_wait_sec`` and retries,
+mirroring the reference's BioPortal backoff (``bioportal_mapper.py:84-87``).
+
+Physical shape: one Arrow-batched ``mapInPandas`` over the mention
+partitions. Each partition memoizes responses per distinct term (web-scale
+mentions repeat massively) and rate-limits its own call stream
+(``min_interval_sec``); partitions fan out across executors, so aggregate
+throughput is ``executors / min_interval``. No driver-side loop — the
+reference iterates terms in one process (``zooma_mapper.py:26-28``);
+here the term list is never collected.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ontology_mapper_spark.config import MappingConfig
+from ontology_mapper_spark.operators.tfidf import CANDIDATE_SCHEMA
+from ontology_mapper_spark.text.normalize import normalize_py
+
+ZOOMA_URL = "http://www.ebi.ac.uk/spot/zooma/v2/api/services/annotate"
+BIOPORTAL_URL = "http://data.bioontology.org/annotator"
+
+# Zooma confidence -> score (zooma_mapper.py:64-75)
+_ZOOMA_SCORES = {"HIGH": 1.0, "GOOD": 0.75, "MEDIUM": 0.5, "LOW": 0.25}
+
+Transport = Callable[[str, dict | None, dict | None], object]
+
+
+class ApiThrottleError(Exception):
+    """Raised by a transport on HTTP 429; the kernel waits and retries."""
+
+
+def _call(
+    transport: Transport,
+    url: str,
+    params: dict | None,
+    headers: dict | None,
+    throttle_wait_sec: float,
+) -> object:
+    try:
+        return transport(url, params, headers)
+    except ApiThrottleError:
+        time.sleep(throttle_wait_sec)
+        return transport(url, params, headers)
+
+
+def _remove_quotes(s: str) -> str:
+    """Reference ``onto_utils.remove_quotes``."""
+    return s.replace('"', "")
+
+
+def zooma_map(
+    mentions: DataFrame,
+    cfg: MappingConfig,
+    transport: Transport,
+    ontologies: str = "all",
+    api_params: dict | None = None,
+    min_interval_sec: float = 0.0,
+    throttle_wait_sec: float = 15.0,
+) -> DataFrame:
+    """Zooma annotator join (S11). ``mentions(source_term_id, source_term)``
+    -> candidate schema; scores from Zooma confidence categories."""
+    max_mappings = cfg.max_mappings
+    extra = dict(api_params or {})
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        memo: dict[str, list[tuple[str, str, float]]] = {}
+        last_call = [0.0]
+        for pdf in batches:
+            ids, terms, lbls, iris, scs = [], [], [], [], []
+            for sid, term in zip(pdf["source_term_id"], pdf["source_term"]):
+                cands = memo.get(term)
+                if cands is None:
+                    params = {
+                        "propertyValue": normalize_py(term),
+                        "filter": "required:[none],ontologies:["
+                        + ontologies
+                        + "]",
+                    }
+                    params.update(extra)
+                    if min_interval_sec:
+                        wait = last_call[0] + min_interval_sec - time.time()
+                        if wait > 0:
+                            time.sleep(wait)
+                        last_call[0] = time.time()
+                    resp = _call(transport, ZOOMA_URL, params, None,
+                                 throttle_wait_sec)
+                    cands = []
+                    for m in resp or []:
+                        if len(cands) >= max_mappings:  # T4 limit
+                            break
+                        label = m["annotatedProperty"]["propertyValue"]
+                        iri = m["semanticTags"][0]
+                        score = _ZOOMA_SCORES.get(m.get("confidence"), 0.0)
+                        cands.append((label, iri, score))
+                    memo[term] = cands
+                for label, iri, score in cands:
+                    ids.append(sid)
+                    terms.append(term)
+                    lbls.append(label)
+                    iris.append(iri)
+                    scs.append(score)
+            yield pd.DataFrame(
+                {
+                    "source_term_id": ids,
+                    "source_term": terms,
+                    "mapped_term_label": lbls,
+                    "mapped_term_iri": iris,
+                    "mapping_score": scs,
+                }
+            )
+
+    return mentions.select("source_term_id", "source_term").mapInPandas(
+        kernel, schema=CANDIDATE_SCHEMA
+    )
+
+
+def bioportal_map(
+    mentions: DataFrame,
+    cfg: MappingConfig,
+    transport: Transport,
+    ontologies: str = "all",
+    apikey: str = "",
+    api_params: dict | None = None,
+    min_interval_sec: float = 0.0,
+    throttle_wait_sec: float = 15.0,
+) -> DataFrame:
+    """BioPortal Annotator join (S12): score hardcoded 1, label resolved via
+    the annotated class's ``links.self`` (``bioportal_mapper.py:58-69``)."""
+    max_mappings = cfg.max_mappings
+    extra = dict(api_params or {})
+    headers = {"Authorization": "apiKey token=" + apikey}
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        memo: dict[str, list[tuple[str, str, float]]] = {}
+        label_memo: dict[str, str] = {}
+        for pdf in batches:
+            ids, terms, lbls, iris, scs = [], [], [], [], []
+            for sid, term in zip(pdf["source_term_id"], pdf["source_term"]):
+                cands = memo.get(term)
+                if cands is None:
+                    params = {
+                        "text": normalize_py(term),
+                        "longest_only": "true",
+                        "expand_mappings": "true",
+                        "ontologies": ontologies,
+                    }
+                    params.update(extra)
+                    if min_interval_sec:
+                        time.sleep(min_interval_sec)
+                    resp = _call(transport, BIOPORTAL_URL, params, headers,
+                                 throttle_wait_sec)
+                    cands = []
+                    for m in resp or []:
+                        if len(cands) >= max_mappings:  # T4 limit
+                            break
+                        ann = m["annotatedClass"]
+                        iri = ann["@id"]
+                        link = ann["links"]["self"]
+                        label = label_memo.get(link)
+                        if label is None:
+                            detail = _call(transport, link, None, headers,
+                                           throttle_wait_sec)
+                            label = (
+                                _remove_quotes(detail["prefLabel"])
+                                if detail
+                                else ""
+                            )
+                            label_memo[link] = label
+                        cands.append((label, iri, 1.0))
+                    memo[term] = cands
+                for label, iri, score in cands:
+                    ids.append(sid)
+                    terms.append(term)
+                    lbls.append(label)
+                    iris.append(iri)
+                    scs.append(score)
+            yield pd.DataFrame(
+                {
+                    "source_term_id": ids,
+                    "source_term": terms,
+                    "mapped_term_label": lbls,
+                    "mapped_term_iri": iris,
+                    "mapping_score": scs,
+                }
+            )
+
+    return mentions.select("source_term_id", "source_term").mapInPandas(
+        kernel, schema=CANDIDATE_SCHEMA
+    )

@@ -73,6 +73,22 @@ def map_terms_df(
             candidates = tfidf_map_broadcast(
                 to_map, labels, cfg, source_idf=tfidf_source_idf
             )
+    elif cfg.mapper in (Mapper.ZOOMA, Mapper.BIOPORTAL):
+        from ontology_mapper_spark.operators import api_mappers
+
+        if cfg.mapper == Mapper.ZOOMA:
+            candidates = api_mappers.zooma_map(
+                to_map, cfg, cfg.api_transport,
+                ontologies=cfg.api_ontologies,
+                min_interval_sec=cfg.api_min_interval_sec,
+            )
+        else:
+            candidates = api_mappers.bioportal_map(
+                to_map, cfg, cfg.api_transport,
+                ontologies=cfg.api_ontologies,
+                apikey=cfg.bioportal_apikey,
+                min_interval_sec=cfg.api_min_interval_sec,
+            )
     elif cfg.candidate_prefilter and _label_count(labels) >= cfg.prefilter_min_labels:
         # scale path (round-1 judge note #2): the faithful nested loop is
         # O(|distinct mentions| x |names|) — at EFO scale (75k names) the

@@ -1,0 +1,128 @@
+"""S11/S12/T4 — Zooma / BioPortal annotator mappers behind an injectable
+offline transport (reference zooma_mapper.py / bioportal_mapper.py)."""
+
+import pytest
+
+from ontology_mapper_spark.config import MappingConfig
+from ontology_mapper_spark.operators.api_mappers import (
+    ApiThrottleError,
+    BIOPORTAL_URL,
+    ZOOMA_URL,
+    _call,
+    bioportal_map,
+    zooma_map,
+)
+from ontology_mapper_spark.sources.terms import mentions_from_list
+
+
+def _zooma_transport():
+    # returned as a closure so cloudpickle serializes it by value (a test-
+    # module top-level function is not importable on Spark workers)
+    def fake_zooma_transport(url, params, headers):
+        """Deterministic Zooma-shaped responses (zooma_mapper.py:50-62
+        fields). Returns 4 annotations so the T4 cut is observable."""
+        assert url == ZOOMA_URL
+        assert params["filter"].startswith("required:[none],ontologies:[")
+        term = params["propertyValue"]
+        confidences = ["HIGH", "GOOD", "MEDIUM", "LOW"]
+        return [
+            {
+                "annotatedProperty": {"propertyValue": f"{term} label {i}"},
+                "semanticTags": [
+                    f"http://example.org/zooma/{term.replace(' ', '_')}/{i}"
+                ],
+                "confidence": confidences[i],
+            }
+            for i in range(4)
+        ]
+
+    return fake_zooma_transport
+
+
+def _bioportal_transport():
+    def fake_bioportal_transport(url, params, headers):
+        assert headers["Authorization"].startswith("apiKey token=")
+        if url == BIOPORTAL_URL:
+            term = params["text"]
+            assert params["longest_only"] == "true"
+            return [
+                {
+                    "annotatedClass": {
+                        "@id": f"http://example.org/bp/{term.replace(' ', '_')}/{i}",
+                        "links": {"self": f"http://example.org/bp/self/{i}"},
+                    }
+                }
+                for i in range(3)
+            ]
+        # the second GET: term detail -> prefLabel (with quotes to strip)
+        idx = url.rsplit("/", 1)[-1]
+        return {"prefLabel": f'"pref label {idx}"'}
+
+    return fake_bioportal_transport
+
+
+@pytest.mark.spark
+def test_zooma_map_scores_and_t4_limit(spark):
+    m = mentions_from_list(spark, ["Acute Asthma", "fever"])
+    cfg = MappingConfig(mapper="zooma", max_mappings=3,
+                        api_transport=_zooma_transport())
+    cfg.validate()
+    rows = zooma_map(m, cfg, _zooma_transport()).collect()
+    by_term = {}
+    for r in rows:
+        by_term.setdefault(r["source_term"], []).append(r)
+    # T4: only the first max_mappings=3 of 4 responses kept
+    assert {len(v) for v in by_term.values()} == {3}
+    a = sorted(by_term["Acute Asthma"], key=lambda r: r["mapped_term_iri"])
+    # propertyValue echoes the *normalized* term (zooma_mapper.py:35)
+    assert a[0]["mapped_term_label"] == "acute asthma label 0"
+    assert [r["mapping_score"] for r in a] == [1.0, 0.75, 0.5]
+
+
+@pytest.mark.spark
+def test_zooma_through_pipeline_min_score(spark):
+    from ontology_mapper_spark.pipeline import map_terms
+    from ontology_mapper_spark.sources.ontology import fixture_onto_terms
+
+    cfg = MappingConfig(mapper="zooma", max_mappings=4, min_score=0.6,
+                        api_transport=_zooma_transport())
+    out = map_terms(spark, ["asthma"], fixture_onto_terms(spark), cfg).collect()
+    # min_score 0.6 keeps HIGH(1.0) and GOOD(0.75) only
+    assert sorted(r["mapping_score"] for r in out) == [0.75, 1.0]
+    assert all(r["mapped_term_iri"].startswith("http://example.org/zooma/") for r in out)
+
+
+@pytest.mark.spark
+def test_bioportal_map_label_fetch(spark):
+    m = mentions_from_list(spark, ["Fever"])
+    cfg = MappingConfig(mapper="bioportal", max_mappings=2,
+                        api_transport=_bioportal_transport(),
+                        bioportal_apikey="k")
+    rows = bioportal_map(m, cfg, _bioportal_transport(), apikey="k").collect()
+    assert len(rows) == 2  # T4 limit
+    rows.sort(key=lambda r: r["mapped_term_iri"])
+    assert rows[0]["mapped_term_iri"] == "http://example.org/bp/fever/0"
+    assert rows[0]["mapped_term_label"] == "pref label 0"  # quotes stripped
+    assert all(r["mapping_score"] == 1.0 for r in rows)
+
+
+def test_throttle_retry():
+    calls = []
+
+    def throttling_transport(url, params, headers):
+        calls.append(url)
+        if len(calls) == 1:
+            raise ApiThrottleError()
+        return {"ok": True}
+
+    out = _call(throttling_transport, "u", None, None, throttle_wait_sec=0.01)
+    assert out == {"ok": True}
+    assert len(calls) == 2
+
+
+def test_validate_requires_transport():
+    with pytest.raises(ValueError, match="api_transport"):
+        MappingConfig(mapper="zooma").validate()
+    with pytest.raises(ValueError, match="api_transport"):
+        MappingConfig(mapper="bioportal").validate()
+    MappingConfig(mapper="zooma", api_transport=_zooma_transport()).validate()
