@@ -306,18 +306,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_windowed"] = events_windowed
 
-    # ---------------- engine-only (no SQL oracle -> rows-only check)
-
     def kg_pages_triples(spark, sf):
+        # flagship end-to-end: synthesized pages -> frozen HTML extraction
+        # -> mention detection -> TF-IDF linking vs the fixture ontology ->
+        # triples. Oracle-checked: the deterministic page corpus is replayed
+        # driver-side into a VALUES mention CTE (page synthesis is pure
+        # Python arithmetic), the fixture ontology into an onto VALUES.
         from ontology_mapper_spark.pipeline import construct_kg
         from ontology_mapper_spark.sources.pages import synthesize_pages
 
         pages = synthesize_pages(spark, 300)
-        return construct_kg(
+        out = construct_kg(
             pages, fixture_onto_terms(spark), MappingConfig(max_mappings=1)
+        )
+        return out.select(
+            "subj",
+            "pred",
+            "obj",
+            F.round(F.col("score") * 1000).cast("int").alias("score_milli"),
         )
 
     q["kg_pages_triples"] = kg_pages_triples
+
+    # ---------------- engine-only (no SQL oracle -> rows-only check)
 
     def lsh_ann_topk(spark, sf):
         e = _emb(spark, sf)
@@ -404,8 +415,19 @@ sh AS (
 )
 
 
-def _tfidf_cte(min_score: float = 0.3, max_mappings: int = 3, ntop: int = 50) -> str:
-    return f"""WITH {_MENTIONS_CTE},
+def _tfidf_cte(
+    min_score: float = 0.3,
+    max_mappings: int = 3,
+    ntop: int = 50,
+    mentions_cte: str | None = None,
+    onto_sql: str | None = None,
+) -> str:
+    """The full TF-IDF mapping pipeline as DuckDB SQL, parameterized on the
+    mention CTE and the ontology VALUES so the same machinery oracles both
+    the documents-table queries and the pages->KG flow."""
+    mentions_cte = mentions_cte or _MENTIONS_CTE
+    onto_sql = onto_sql or demo_onto_values_sql()
+    return f"""WITH {mentions_cte},
 m_norm AS (
   SELECT source_term_id, source_term, {_norm_sql('source_term')} AS norm FROM mentions
 ),
@@ -427,7 +449,7 @@ src_vec AS (
   SELECT w.source_term_id, w.ngram, w.w / n.nrm AS ws
   FROM src_w w JOIN src_nrm n USING (source_term_id)
 ),
-{demo_onto_values_sql()},
+{onto_sql},
 lbl AS (
   SELECT iri, name, display_label,
          row_number() OVER (ORDER BY iri, is_synonym, name) - 1 AS label_id
@@ -465,7 +487,10 @@ scored AS (
   HAVING sum(s.ws * t.wt) >= {min_score}
 ),
 topn AS (
-  SELECT *, row_number() OVER (PARTITION BY source_term_id ORDER BY score DESC, label_id) AS rn
+  -- rank on round(score, 9): cross-engine ulp-tie pin (labels identical
+  -- after lowercasing tie exactly in the Spark kernel but differ ~1 ulp
+  -- here due to summation order)
+  SELECT *, row_number() OVER (PARTITION BY source_term_id ORDER BY round(score, 9) DESC, label_id) AS rn
   FROM scored QUALIFY rn <= {ntop}
 ),
 per_iri AS (
@@ -476,6 +501,50 @@ final AS (
   SELECT *, row_number() OVER (PARTITION BY source_term_id ORDER BY rn) AS rk
   FROM per_iri QUALIFY rk <= {max_mappings}
 )"""
+
+
+def _sq(s: str) -> str:
+    return s.replace("'", "''")
+
+
+def _kg_mentions_cte(n_pages: int = 300) -> str:
+    """Replay the deterministic page corpus driver-side (pure Python — no
+    Spark) into the exact mention relation detect_mentions produces:
+    en pages only, one row per paragraph line, id = url#ordinal."""
+    from ontology_mapper_spark.sources.pages import page_rows
+
+    vals = []
+    for url, _ts, _html, text, lang in page_rows(n_pages):
+        if lang != "en":
+            continue
+        for j, para in enumerate(text.split("\n")[1:]):  # line 0 = title
+            if para:
+                vals.append(f"('{_sq(url)}#{j}', '{_sq(para)}')")
+    return (
+        "mentions(source_term_id, source_term) AS (\n  SELECT * FROM (VALUES\n    "
+        + ",\n    ".join(vals)
+        + "\n  ) AS t(source_term_id, source_term)\n)"
+    )
+
+
+def _fixture_onto_values_sql(term_type: str = "class") -> str:
+    """onto_labels of the fixture ontology (labels ∪ synonyms, term_type
+    filter, display = first label) as a VALUES clause — mirrors
+    sources.ontology.onto_labels_df over filter_terms_df."""
+    vals = []
+    for r in fixture_ontology_rows():
+        if term_type != "any" and r["term_type"] != term_type:
+            continue
+        display = r["labels"][0]
+        for name in r["labels"]:
+            vals.append(f"('{_sq(r['iri'])}', '{_sq(name)}', FALSE, '{_sq(display)}')")
+        for syn in r["synonyms"]:
+            vals.append(f"('{_sq(r['iri'])}', '{_sq(syn)}', TRUE, '{_sq(display)}')")
+    return (
+        "onto(iri, name, is_synonym, display_label) AS (\n  SELECT * FROM (VALUES\n    "
+        + ",\n    ".join(vals)
+        + "\n  ) AS t(iri, name, is_synonym, display_label)\n)"
+    )
 
 
 def _fixture_edges_values() -> str:
@@ -759,6 +828,20 @@ SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS wind
        count(*) AS n_events,
        round(sum(value), 2) AS sum_value
 FROM events GROUP BY 1, 2"""
+
+    o["kg_pages_triples"] = (
+        _tfidf_cte(
+            min_score=0.3,
+            max_mappings=1,
+            ntop=50,
+            mentions_cte=_kg_mentions_cte(300),
+            onto_sql=_fixture_onto_values_sql("class"),
+        )
+        + """
+SELECT source_term_id AS subj, 'mappedTo' AS pred, iri AS obj,
+       CAST(round(round(score, 3) * 1000) AS INT) AS score_milli
+FROM final"""
+    )
 
     # sha256(varchar) in DuckDB hashes the UTF-8 bytes == Spark
     # sha2(encode(text,'UTF-8'),256); hex digits -> byte values via strpos.

@@ -88,6 +88,7 @@ def suite(spark, sf_dir: str) -> dict[str, float]:
     headline = [
         "tfidf_topk",
         "syntactic_levenshtein",
+        "syntactic_prefiltered_levenshtein",
         "minhash_lsh_pairs",
         "simhash",
         "ngram_jaccard_neardup",

@@ -203,7 +203,12 @@ def _score_one(
     cand = np.flatnonzero(scores >= max(cfg.min_score, 1e-12))
     if cand.size == 0:
         return []
-    order = np.lexsort((cand, -scores[cand]))  # score desc, label_id asc
+    # rank on score rounded to 9dp: labels identical after lowercasing score
+    # an exact tie here (same scatter adds) but differ by ~1 ulp in an
+    # engine that sums in another order (DuckDB oracle) — rounding pins the
+    # (score desc, label_id asc) order identically across engines; 9dp is
+    # far below any semantic score difference
+    order = np.lexsort((cand, -np.round(scores[cand], 9)))
     cand = cand[order][: cfg.ntop]
     out: list[tuple[int, float]] = []
     seen: set[str] = set()
@@ -386,8 +391,9 @@ def tfidf_map_inverted_index(
         .agg(F.sum(F.col("ws") * F.col("wt")).alias("mapping_score"))
         .filter(F.col("mapping_score") >= cfg.min_score)
     )
+    # rank on round(score, 9): cross-engine ulp-tie pin (see _score_one)
     w_top = Window.partitionBy("source_term_id").orderBy(
-        F.desc("mapping_score"), F.asc("label_id")
+        F.desc(F.round("mapping_score", 9)), F.asc("label_id")
     )
     top_labels = scored.withColumn("rn", F.row_number().over(w_top)).filter(
         F.col("rn") <= cfg.ntop

@@ -87,7 +87,9 @@ def tfidf_mappings(
                     s += wv * tv
             if s >= min_score and s > 0.0:
                 cands.append((s, k))
-        cands.sort(key=lambda x: (-x[0], x[1]))
+        # rank on round(score, 9): matches the engine's cross-engine
+        # ulp-tie pin (operators/tfidf.py _score_one)
+        cands.sort(key=lambda x: (-round(x[0], 9), x[1]))
         del cands[ntop:]
         # _get_mappings (tfidf_mapper.py:57-77): first occurrence per IRI
         # wins; stop after max_mappings distinct IRIs.
