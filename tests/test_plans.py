@@ -1,0 +1,93 @@
+"""Physical-plan assertions — the scale-design contracts as executable
+checks, not prose: zero-shuffle broadcast scoring, parquet filter pushdown,
+map-side partial aggregation, broadcast dimension joins."""
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from ontology_mapper_spark.config import MappingConfig
+from ontology_mapper_spark.operators.dedup import exact_dedup_groups
+from ontology_mapper_spark.operators.syntactic import syntactic_map_prefiltered
+from ontology_mapper_spark.operators.tfidf import tfidf_map_broadcast
+from ontology_mapper_spark.sources.ontology import (
+    filter_terms_df,
+    fixture_onto_terms,
+    onto_labels_df,
+    write_ontology_cache,
+)
+from ontology_mapper_spark.sources.pages import detect_mentions, synthesize_pages
+
+
+def plan_str(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+@pytest.mark.spark
+def test_tfidf_broadcast_scoring_is_zero_shuffle(spark):
+    """The 100 TB contract of the flagship plan: after the (separate,
+    vocab-bounded) IDF job, the scoring stage itself is mapInPandas against
+    broadcast state — NO Exchange anywhere in its physical plan."""
+    mentions = detect_mentions(synthesize_pages(spark, 40)).select(
+        "source_term_id", "source_term"
+    )
+    labels = onto_labels_df(
+        filter_terms_df(fixture_onto_terms(spark), term_type="class")
+    )
+    out = tfidf_map_broadcast(mentions, labels, MappingConfig())
+    p = plan_str(out)
+    assert "Exchange" not in p, p
+    assert "MapInPandas" in p, p
+
+
+@pytest.mark.spark
+def test_base_iri_filter_pushed_to_parquet_scan(spark, tmp_path):
+    """S5/F7: the IRI-prefix search must reach the scan as a pushed filter
+    (the reference uses owlready2's sqlite index; ours is parquet pushdown)."""
+    path = str(tmp_path / "onto_cache")
+    write_ontology_cache(fixture_onto_terms(spark), path)
+    cached = spark.read.parquet(path)
+    filtered = filter_terms_df(
+        cached, base_iris=("http://www.ebi.ac.uk/efo/",),
+        excl_deprecated=True, term_type="class",
+    )
+    p = plan_str(filtered)
+    assert "PushedFilters:" in p
+    pushed = [ln for ln in p.splitlines() if "PushedFilters:" in ln][0]
+    assert "StartsWith(iri" in pushed, pushed
+    # deprecated + term_type predicates push too (plain equality filters)
+    assert "deprecated" in pushed and "term_type" in pushed, pushed
+
+
+@pytest.mark.spark
+def test_exact_dedup_partial_aggregation(spark):
+    """One digest shuffle with map-side combine: two HashAggregate stages
+    around exactly one Exchange."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p = plan_str(exact_dedup_groups(docs))
+    assert p.count("HashAggregate") >= 2, p
+    assert p.count("Exchange") == 2, p  # shuffle + AQE read back = 1 logical
+    assert "SortAggregate" not in p
+
+
+@pytest.mark.spark
+def test_prefiltered_rescoring_broadcasts_names(spark):
+    """The syntactic scale path joins candidates to per-IRI name arrays —
+    that dimension join must be a BroadcastHashJoin, never sort-merge."""
+    mentions = detect_mentions(synthesize_pages(spark, 40)).select(
+        "source_term_id", "source_term"
+    )
+    labels = onto_labels_df(
+        filter_terms_df(fixture_onto_terms(spark), term_type="class")
+    )
+    out = syntactic_map_prefiltered(
+        mentions, labels, MappingConfig(mapper="levenshtein", max_mappings=3)
+    )
+    p = plan_str(out)
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
