@@ -243,6 +243,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["embedding_topk"] = emb_topk
 
+    def embedding_neardup(spark, sf):
+        from ontology_mapper_spark.operators.similarity import (
+            cosine_neardup_pairs,
+        )
+
+        out = cosine_neardup_pairs(_emb(spark, sf), threshold=0.3)
+        return out.select(
+            "vec_a", "vec_b", F.round("cosine", 6).alias("cosine")
+        )
+
+    q["embedding_neardup"] = embedding_neardup
+
     def closure(spark, sf):
         return ancestor_closure(fixture_onto_terms(spark))
 
@@ -795,6 +807,13 @@ fin AS (
   FROM scored QUALIFY rk <= 5
 )
 SELECT query_id, vec_id, round(cosine, 6) AS cosine, rk FROM fin"""
+
+    o["embedding_neardup"] = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= 0.3"""
 
     o["ancestor_closure"] = f"""WITH RECURSIVE edges(term, anc) AS (
   SELECT * FROM (VALUES

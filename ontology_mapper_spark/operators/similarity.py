@@ -66,6 +66,69 @@ def cosine_topk(
     )
 
 
+def cosine_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (task brief): all (a, b),
+    a < b, with cosine >= threshold. Exact all-pairs baseline — the
+    correct-by-construction reference for the LSH variant; the self-join
+    broadcasts one side, so use it for verification corpora only."""
+    a = embeddings.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").cast("array<double>").alias("va"),
+    )
+    b = embeddings.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").cast("array<double>").alias("vb"),
+    )
+    return (
+        a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            cosine_similarity_col(F.col("va"), F.col("vb")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def lsh_cosine_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    planes_per_table: int = 8,
+    tables: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Scale path for near-dup pairs: sign-random-projection buckets (same
+    deterministic hyperplanes as ``lsh_cosine_topk``) generate candidates —
+    pairs sharing >= 1 of ``tables`` bucket keys — then the exact cosine
+    verifies >= threshold. The only join is bucket-equi (AQE skew-splits
+    hot buckets); recall < 1 by design, pinned by a recall test."""
+    bucketed = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    ).withColumn(
+        "bucket",
+        F.explode(_bucket_keys_col(F.col("vec"), planes_per_table, tables, dim)),
+    )
+    a = bucketed.select(
+        F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"), "bucket"
+    )
+    b = bucketed.select(
+        F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb"), "bucket"
+    )
+    cand = (
+        a.join(b, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    return cand.select(
+        "vec_a",
+        "vec_b",
+        cosine_similarity_col(F.col("va"), F.col("vb")).alias("cosine"),
+    ).filter(F.col("cosine") >= threshold)
+
+
 def _hyperplane(plane: int, dim: int) -> list[float]:
     """Deterministic pseudo-random unit-free hyperplane: coefficient (p, d)
     = signed 16-bit int from md5("p:d") — reproducible everywhere."""
@@ -75,6 +138,30 @@ def _hyperplane(plane: int, dim: int) -> list[float]:
         v = int(h[:4], 16) - 32768
         coeffs.append(float(v))
     return coeffs
+
+
+def _bucket_keys_col(vec, planes_per_table: int, tables: int, dim: int):
+    """Array of per-table bucket keys: sign-bit string of the vector against
+    each table's deterministic hyperplanes."""
+    all_planes = [
+        _hyperplane(t * planes_per_table + p, dim)
+        for t in range(tables)
+        for p in range(planes_per_table)
+    ]
+    planes_lit = F.array(*[F.array(*[F.lit(c) for c in pl]) for pl in all_planes])
+    signs = F.transform(
+        planes_lit, lambda pl: F.when(_dot(pl, vec) >= 0, "1").otherwise("0")
+    )
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(tables - 1)),
+        lambda t: F.concat(
+            t.cast("string"),
+            F.lit("_"),
+            F.array_join(
+                F.slice(signs, t * planes_per_table + 1, planes_per_table), ""
+            ),
+        ),
+    )
 
 
 def lsh_cosine_topk(
@@ -88,37 +175,18 @@ def lsh_cosine_topk(
     """Bucketed ANN: bucket key per table = sign-bit string over that
     table's hyperplanes; candidates = corpus rows sharing any table bucket
     with the query; exact cosine re-rank, top-k."""
-    spark = embeddings.sparkSession
-    all_planes = [
-        _hyperplane(t * planes_per_table + p, dim)
-        for t in range(tables)
-        for p in range(planes_per_table)
-    ]
-    planes_lit = F.array(
-        *[F.array(*[F.lit(c) for c in pl]) for pl in all_planes]
-    )
-
-    def bucket_keys(vec):
-        signs = F.transform(
-            planes_lit, lambda pl: F.when(_dot(pl, vec) >= 0, "1").otherwise("0")
-        )
-        return F.transform(
-            F.sequence(F.lit(0), F.lit(tables - 1)),
-            lambda t: F.concat(
-                t.cast("string"),
-                F.lit("_"),
-                F.array_join(
-                    F.slice(signs, t * planes_per_table + 1, planes_per_table), ""
-                ),
-            ),
-        )
-
     corpus = embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("vec")
-    ).withColumn("bucket", F.explode(bucket_keys(F.col("vec"))))
+    ).withColumn(
+        "bucket",
+        F.explode(_bucket_keys_col(F.col("vec"), planes_per_table, tables, dim)),
+    )
     q = queries.select(
         "query_id", F.col("query_vec").cast("array<double>").alias("qvec")
-    ).withColumn("bucket", F.explode(bucket_keys(F.col("qvec"))))
+    ).withColumn(
+        "bucket",
+        F.explode(_bucket_keys_col(F.col("qvec"), planes_per_table, tables, dim)),
+    )
     cand = (
         corpus.join(F.broadcast(q), "bucket")
         .select("query_id", "vec_id", "qvec", "vec")

@@ -134,3 +134,44 @@ def test_multimodal_plumbing(spark):
     plan = frame_sample_plan(media, every_n=5).collect()
     assert len(plan) == 20
     assert {r["frame_idx"] for r in plan} == set(range(0, 50, 5))
+
+
+@pytest.mark.spark
+def test_cosine_neardup_exact_and_lsh_recall(spark):
+    """Near-dup pairs: the exact all-pairs operator finds every planted
+    cluster pair; the LSH-bucketed variant keeps precision 1 by
+    construction (exact verify) and recall >= 0.95 on genuine near-dups
+    (cosine ~0.99 — the regime LSH banding is built for)."""
+    import numpy as np
+
+    from ontology_mapper_spark.operators.similarity import (
+        cosine_neardup_pairs,
+        lsh_cosine_neardup_pairs,
+    )
+
+    rng = np.random.RandomState(7)
+    rows = []
+    vid = 0
+    for c in range(40):  # 40 clusters x 3 near-identical members
+        base = rng.randn(64)
+        base /= np.linalg.norm(base)
+        for _ in range(3):
+            v = base + rng.randn(64) * 0.02
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    exact = {
+        (r["vec_a"], r["vec_b"])
+        for r in cosine_neardup_pairs(emb, threshold=0.9).collect()
+    }
+    # every planted intra-cluster pair found (3 per cluster), none across
+    assert len(exact) == 40 * 3
+    assert all(a // 3 == b // 3 for a, b in exact)
+
+    got = {
+        (r["vec_a"], r["vec_b"])
+        for r in lsh_cosine_neardup_pairs(emb, threshold=0.9).collect()
+    }
+    assert got <= exact  # precision 1: every emitted pair exact-verified
+    assert len(got) / len(exact) >= 0.95, len(got) / len(exact)
