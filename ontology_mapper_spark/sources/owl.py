@@ -191,28 +191,52 @@ def parse_owl(path: str, follow_imports: bool = True) -> list[dict]:
             elif tag == f"{{{OWL}}}deprecated" and txt.lower() == "true":
                 term["deprecated"] = True
 
+    def node_kind(node: ET.Element) -> str | None:
+        """Map a top-level element to Class / property / NamedIndividual /
+        Ontology, resolving the ``rdf:Description`` + ``rdf:type`` style
+        (the serialization many real-world exporters emit) to the same
+        kinds as directly-typed elements."""
+        if node.tag != f"{{{RDF}}}Description":
+            return node.tag
+        for typ in node.findall(f"{{{RDF}}}type"):
+            res = typ.get(resource_attr)
+            if res == OWL + "Class":
+                return f"{{{OWL}}}Class"
+            if res in (
+                OWL + "ObjectProperty",
+                OWL + "DatatypeProperty",
+                OWL + "AnnotationProperty",
+            ):
+                return "{" + OWL + "}" + res[len(OWL):]
+            if res == OWL + "NamedIndividual":
+                return f"{{{OWL}}}NamedIndividual"
+            if res == OWL + "Ontology":
+                return f"{{{OWL}}}Ontology"
+        return None  # untyped Description: annotations only, skip
+
     def process_root(root: ET.Element) -> list[str]:
         """Extract terms from one parsed file; return its owl:imports IRIs."""
         imports: list[str] = []
         for node in root:
             iri = node.get(about_attr)
-            if node.tag == f"{{{OWL}}}Ontology":
+            kind = node_kind(node)
+            if kind == f"{{{OWL}}}Ontology":
                 for imp in node.findall(f"{{{OWL}}}imports"):
                     res = imp.get(resource_attr)
                     if res:
                         imports.append(res)
                 continue
-            if not iri:
+            if not iri or kind is None:
                 continue
-            if node.tag == f"{{{OWL}}}Class":
+            if kind == f"{{{OWL}}}Class":
                 t = get_term(iri, OntologyTermType.CLASS)
                 parse_common(node, t)
                 parse_parents(node, t)
-            elif node.tag in _PROPERTY_TAGS:
+            elif kind in _PROPERTY_TAGS:
                 t = get_term(iri, OntologyTermType.PROPERTY)
                 parse_common(node, t)
                 parse_parents(node, t)
-            elif node.tag == f"{{{OWL}}}NamedIndividual":
+            elif kind == f"{{{OWL}}}NamedIndividual":
                 label = ""
                 for child in node:
                     if child.tag in _LABEL_PROPS and child.text:
@@ -220,7 +244,9 @@ def parse_owl(path: str, follow_imports: bool = True) -> list[dict]:
                         break
                 for typ in node.findall(f"{{{RDF}}}type"):
                     res = typ.get(resource_attr)
-                    if res:
+                    # the Description style also types the individual as
+                    # owl:NamedIndividual itself — that's not a class
+                    if res and res != OWL + "NamedIndividual":
                         instances_of.setdefault(res, []).append(iri)
                 instance_labels[iri] = label
         return imports

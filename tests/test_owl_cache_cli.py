@@ -153,6 +153,54 @@ def test_owl_imports_and_equivalent_class(tmp_path):
     assert len(solo) == 3
 
 
+_DESCRIPTION_STYLE_OWL = """<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+         xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#"
+         xmlns:owl="http://www.w3.org/2002/07/owl#">
+  <rdf:Description rdf:about="http://example.org/d#Asthma">
+    <rdf:type rdf:resource="http://www.w3.org/2002/07/owl#Class"/>
+    <rdfs:label>asthma</rdfs:label>
+    <rdfs:subClassOf rdf:resource="http://example.org/d#Disease"/>
+  </rdf:Description>
+  <rdf:Description rdf:about="http://example.org/d#Disease">
+    <rdf:type rdf:resource="http://www.w3.org/2002/07/owl#Class"/>
+    <rdfs:label>disease</rdfs:label>
+  </rdf:Description>
+  <rdf:Description rdf:about="http://example.org/d#hasCode">
+    <rdf:type rdf:resource="http://www.w3.org/2002/07/owl#DatatypeProperty"/>
+    <rdfs:label>has code</rdfs:label>
+  </rdf:Description>
+  <rdf:Description rdf:about="http://example.org/d#case1">
+    <rdf:type rdf:resource="http://www.w3.org/2002/07/owl#NamedIndividual"/>
+    <rdf:type rdf:resource="http://example.org/d#Asthma"/>
+    <rdfs:label>case one</rdfs:label>
+  </rdf:Description>
+  <rdf:Description rdf:about="http://example.org/d#untyped">
+    <rdfs:label>annotation-only node, skipped</rdfs:label>
+  </rdf:Description>
+</rdf:RDF>
+"""
+
+
+def test_owl_rdf_description_serialization(tmp_path):
+    """The rdf:Description + rdf:type style many real-world exporters emit
+    must parse identically to directly-typed elements; untyped Description
+    nodes (annotation axioms) are skipped."""
+    p = tmp_path / "desc.owl"
+    p.write_text(_DESCRIPTION_STYLE_OWL)
+    rows = {r["iri"]: r for r in parse_owl(str(p))}
+    assert set(rows) == {
+        "http://example.org/d#Asthma",
+        "http://example.org/d#Disease",
+        "http://example.org/d#hasCode",
+    }
+    asthma = rows["http://example.org/d#Asthma"]
+    assert asthma["term_type"] == "class"
+    assert asthma["parents"] == {"http://example.org/d#Disease": "disease"}
+    assert asthma["instances"] == {"http://example.org/d#case1": "case one"}
+    assert rows["http://example.org/d#hasCode"]["term_type"] == "property"
+
+
 @pytest.mark.spark
 def test_owl_mapping_equals_fixture_mapping(spark, owl_file):
     from ontology_mapper_spark.pipeline import map_terms
