@@ -60,6 +60,61 @@ def stream_pages_to_triples(
     return writer.start()
 
 
+def first_seen_urls(pages_stream: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator (``applyInPandasWithState``):
+    emit each url exactly once — the first capture seen across ALL
+    micro-batches — with a running recrawl count kept in state. This is the
+    streaming twin of ``construct_kg(dedup_pages=True)``: Common-Crawl
+    snapshots recrawl urls, and mention ids are url#ordinal, so a url must
+    enter the KG pipeline only once per corpus.
+
+    State per url: (emitted flag, captures seen). Keyed state is
+    checkpoint-backed — a restarted query keeps deduplicating across runs.
+    Output mode 'append' (each url's row is final once emitted) with no
+    timeout; state size is O(|distinct urls|), the same cardinality any
+    streaming dedup must hold.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("warc_ts", T.TimestampType()),
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("emitted", T.LongType()),
+            T.StructField("captures", T.LongType()),
+        ]
+    )
+
+    def dedup(key, pdfs, state: GroupState):
+        emitted, captures = state.get if state.exists else (0, 0)
+        first = None
+        for pdf in pdfs:
+            captures += len(pdf)
+            if not emitted and first is None and len(pdf):
+                first = pdf.sort_values("warc_ts").iloc[[0]]
+        state.update((1 if (emitted or first is not None) else 0, captures))
+        if not emitted and first is not None:
+            yield first[["url", "warc_ts", "lang"]]
+        else:
+            yield pd.DataFrame(columns=["url", "warc_ts", "lang"])
+
+    return (
+        pages_stream.select("url", "warc_ts", "lang")
+        .groupBy("url")
+        .applyInPandasWithState(
+            dedup, out_schema, state_schema, "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def mention_rate(pages_stream: DataFrame, window: str = "10 minutes",
                  watermark: str = "1 hour") -> DataFrame:
     """Watermarked event-time aggregation: mentions/pages per window per

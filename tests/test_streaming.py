@@ -10,10 +10,59 @@ from ontology_mapper_spark.pipeline import construct_kg
 from ontology_mapper_spark.sources.ontology import fixture_onto_terms
 from ontology_mapper_spark.sources.pages import synthesize_pages
 from ontology_mapper_spark.streaming.ingest import (
+    first_seen_urls,
     mention_rate,
     read_pages_stream,
     stream_pages_to_triples,
 )
+
+
+@pytest.mark.spark
+@pytest.mark.slow
+def test_first_seen_urls_stateful(spark, tmp_path):
+    """applyInPandasWithState dedup: each url emitted once across
+    micro-batches within a run AND across a checkpointed restart."""
+    in_dir = str(tmp_path / "pages_in")
+    out_dir = str(tmp_path / "seen_out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(in_dir)
+
+    first = synthesize_pages(spark, 60)  # urls page0..page59
+    first.write.mode("append").parquet(in_dir)
+    # recrawl of the same urls at a later ts + 20 new urls
+    recrawl = synthesize_pages(spark, 80).withColumn(
+        "warc_ts", F.col("warc_ts") + F.expr("INTERVAL 30 DAYS")
+    )
+    recrawl.write.mode("append").parquet(in_dir)
+
+    def run():
+        stream = read_pages_stream(spark, in_dir, max_files_per_trigger=1)
+        q = (
+            first_seen_urls(stream)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    got = spark.read.parquet(out_dir)
+    # 80 distinct urls, each exactly once despite the recrawl batch
+    assert got.count() == 80
+    assert got.select("url").distinct().count() == 80
+
+    # restart with new files: another recrawl + 10 more new urls — state
+    # restored from the checkpoint, so only the 10 new urls are emitted
+    synthesize_pages(spark, 90).withColumn(
+        "warc_ts", F.col("warc_ts") + F.expr("INTERVAL 60 DAYS")
+    ).write.mode("append").parquet(in_dir)
+    run()
+    got2 = spark.read.parquet(out_dir)
+    assert got2.count() == 90
+    assert got2.select("url").distinct().count() == 90
 
 
 @pytest.mark.spark
