@@ -57,14 +57,47 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """All (a, b) doc pairs with shingle-set Jaccard >= threshold, a < b.
     Inverted-index join on shingles; |intersection| from the match count,
-    |union| = |A| + |B| - |intersection|."""
+    |union| = |A| + |B| - |intersection|.
+
+    This operator is quadratic *inside a shingle bucket* — it is the
+    verification stage; generate candidates with MinHash LSH at corpus
+    scale. ``max_bucket`` makes that contract executable: when set, any
+    shingle shared by more than ``max_bucket`` docs raises at action time
+    (native ``raise_error`` guard — misuse fails loudly instead of fanning
+    out quadratically). None = exact semantics, no guard."""
     sh = docs.select(
         F.col(id_col).alias("doc"),
         F.explode(word_shingles(F.col(text_col), k)).alias("shingle"),
     )
+    if max_bucket is not None:
+        # 1-row lazy aggregate (hottest bucket size) cross-joined as a
+        # broadcast; raise_error fires at action time if it exceeds the cap
+        hottest = sh.groupBy("shingle").agg(
+            F.count(F.lit(1)).alias("_df")
+        ).agg(F.max("_df").alias("_max_df"))
+        # a filter predicate cannot be pruned away (a guard column could be)
+        sh = (
+            sh.crossJoin(F.broadcast(hottest))
+            .filter(
+                F.when(F.col("_max_df") <= max_bucket, F.lit(True)).otherwise(
+                    F.raise_error(
+                        F.concat(
+                            F.lit("ngram_jaccard_pairs: hottest shingle bucket "),
+                            F.col("_max_df").cast("string"),
+                            F.lit(
+                                f" exceeds max_bucket={max_bucket} — use "
+                                "MinHash LSH for candidate generation"
+                            ),
+                        )
+                    ).isNull()
+                )
+            )
+            .drop("_max_df")
+        )
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.withColumnRenamed("doc", "doc_a")
     b = sh.withColumnRenamed("doc", "doc_b")

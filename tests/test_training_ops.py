@@ -175,3 +175,18 @@ def test_cosine_neardup_exact_and_lsh_recall(spark):
     }
     assert got <= exact  # precision 1: every emitted pair exact-verified
     assert len(got) / len(exact) >= 0.95, len(got) / len(exact)
+
+
+@pytest.mark.spark
+def test_ngram_jaccard_bucket_guard(spark, docs):
+    """max_bucket makes the verification-only contract executable: a hot
+    shingle bucket raises at action time instead of fanning out."""
+    # guard off / above the hottest bucket: identical results
+    base = {(r["doc_a"], r["doc_b"]) for r in
+            dd.ngram_jaccard_pairs(docs, threshold=0.2).collect()}
+    ok = {(r["doc_a"], r["doc_b"]) for r in
+          dd.ngram_jaccard_pairs(docs, threshold=0.2, max_bucket=100).collect()}
+    assert ok == base and base
+    # the shared shingle bucket across 4 near-identical docs exceeds cap 2
+    with pytest.raises(Exception, match="max_bucket"):
+        dd.ngram_jaccard_pairs(docs, threshold=0.2, max_bucket=2).collect()
