@@ -354,6 +354,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["lsh_ann_topk"] = lsh_ann_topk
 
+    def ivf_ann_topk(spark, sf):
+        from ontology_mapper_spark.operators.similarity import ivf_cosine_topk
+
+        e = _emb(spark, sf)
+        queries_df = e.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        out = ivf_cosine_topk(e, queries_df, k=5, n_lists=16, n_probe=4)
+        return out.select(
+            "query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rk"
+        )
+
+    q["ivf_ann_topk"] = ivf_ann_topk
+
     def multimodal_decode(spark, sf):
         # documents' text bytes as the opaque media payload: lets DuckDB
         # replicate the deterministic fake decode (sha256-derived metadata)

@@ -18,9 +18,9 @@ def test_oracle_keys_subset_of_queries():
     q = set(entrymod.queries())
     o = set(entrymod.oracle_sql())
     assert o <= q, f"oracle without query: {o - q}"
-    # the single engine-only entry: LSH ANN is approximate by design (its
-    # recall-vs-exact guarantee lives in tests/test_training_ops.py)
-    assert q - o == {"lsh_ann_topk"}
+    # engine-only entries: the ANN variants are approximate by design
+    # (their recall-vs-exact guarantees live in tests/test_training_ops.py)
+    assert q - o == {"lsh_ann_topk", "ivf_ann_topk"}
 
 
 @pytest.mark.spark

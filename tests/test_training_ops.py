@@ -190,3 +190,36 @@ def test_ngram_jaccard_bucket_guard(spark, docs):
     # the shared shingle bucket across 4 near-identical docs exceeds cap 2
     with pytest.raises(Exception, match="max_bucket"):
         dd.ngram_jaccard_pairs(docs, threshold=0.2, max_bucket=2).collect()
+
+
+@pytest.mark.spark
+def test_ivf_cosine_topk_recall(spark):
+    """IVF ANN: on planted clusters, a query's cluster-mates land in its
+    probed lists — recall@3 >= 0.9 vs exact; rows-per-query capped at k."""
+    import numpy as np
+
+    from ontology_mapper_spark.operators.similarity import ivf_cosine_topk
+
+    rng = np.random.RandomState(11)
+    rows = []
+    vid = 0
+    for c in range(30):  # 30 clusters x 4 members
+        base = rng.randn(64)
+        base /= np.linalg.norm(base)
+        for _ in range(4):
+            v = base + rng.randn(64) * 0.05
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = emb.filter(F.col("vec_id") % 4 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = cosine_topk(emb, queries, k=3)
+    got = ivf_cosine_topk(emb, queries, k=3, n_lists=16, n_probe=4)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    g = {(r["query_id"], r["vec_id"]) for r in got.collect()}
+    assert len(g & e) / len(e) >= 0.9, len(g & e) / len(e)
+    per_q = {}
+    for q, _v in g:
+        per_q[q] = per_q.get(q, 0) + 1
+    assert max(per_q.values()) <= 3
