@@ -7,7 +7,8 @@ Run either way (north_rule: ``spark-submit --py-files``):
 
 Differences from the reference CLI, all deliberate:
 - ``-t`` takes a local OWL file or a cached acronym (no network download).
-- mapper names exclude zooma/bioportal (network; S11/S12 out of scope).
+- zooma/bioportal require ``--api-transport module:callable`` (the offline
+  engine ships no HTTP client; see ``operators/api_mappers.py``).
 - min_score default mirrors the reference CLI's 0.5 (API default is 0.3 —
   the reference has the same split, ``__main__.py:30-31`` vs ``t2t.py:33``).
 """
@@ -16,6 +17,22 @@ from __future__ import annotations
 
 import argparse
 import sys
+
+
+def resolve_transport(spec: str):
+    """'module:callable' -> the transport callable (for zooma/bioportal);
+    '' -> None. The module must be importable on driver and executors
+    (ship it via --py-files)."""
+    if not spec:
+        return None
+    import importlib
+
+    mod_name, _, attr = spec.partition(":")
+    if not attr:
+        raise SystemExit(
+            f"--api-transport must be 'module:callable', got: {spec!r}"
+        )
+    return getattr(importlib.import_module(mod_name), attr)
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -28,7 +45,13 @@ def main(argv: list[str] | None = None) -> int:
                         help="output CSV path (default: t2t-mappings-<ts>.csv)")
     parser.add_argument("-m", "--mapper", default="tfidf",
                         choices=["levenshtein", "jaro", "jarowinkler", "jaccard",
-                                 "fuzzy", "tfidf", "indel"])
+                                 "fuzzy", "tfidf", "indel", "zooma", "bioportal"])
+    parser.add_argument("-bp", "--bioportal_apikey", default="",
+                        help="BioPortal API key (reference -bp)")
+    parser.add_argument("--api-transport", default="", dest="api_transport",
+                        help="'module:callable' import path of the HTTP "
+                             "transport for zooma/bioportal (this offline "
+                             "engine ships none; see operators/api_mappers.py)")
     parser.add_argument("-csv", "--csv_input", default="",
                         help="term column name[,id column name] for CSV input")
     parser.add_argument("-sep", "--separator", default=",")
@@ -74,7 +97,10 @@ def main(argv: list[str] | None = None) -> int:
         mapper=args.mapper,
         term_type=args.term_type,
         incl_unmapped=args.incl_unmapped,
+        api_transport=resolve_transport(args.api_transport),
+        bioportal_apikey=args.bioportal_apikey,
     )
+    cfg.validate()  # fail fast (e.g. zooma/bioportal without a transport)
 
     if args.store_in_cache:
         handle = onto_cache.cache_ontology(spark, args.target, args.store_in_cache)

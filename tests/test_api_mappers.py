@@ -126,3 +126,19 @@ def test_validate_requires_transport():
     with pytest.raises(ValueError, match="api_transport"):
         MappingConfig(mapper="bioportal").validate()
     MappingConfig(mapper="zooma", api_transport=_zooma_transport()).validate()
+
+
+def test_cli_transport_resolution(tmp_path, monkeypatch):
+    import sys
+
+    from ontology_mapper_spark.__main__ import resolve_transport
+
+    assert resolve_transport("") is None
+    (tmp_path / "my_transport.py").write_text(
+        "def transport(url, params, headers):\n    return []\n"
+    )
+    monkeypatch.syspath_prepend(str(tmp_path))
+    t = resolve_transport("my_transport:transport")
+    assert callable(t) and t("u", None, None) == []
+    with pytest.raises(SystemExit):
+        resolve_transport("no_colon_here")
