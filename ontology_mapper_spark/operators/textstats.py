@@ -15,6 +15,14 @@ LANG_PROFILES = {
     "de": ["der", "die", "und", "das", "ist", "ein", "nicht", "mit", "zu", "den"],
     "fr": ["le", "la", "et", "les", "des", "un", "une", "est", "pour", "dans"],
     "es": ["el", "la", "de", "que", "y", "en", "un", "es", "por", "los"],
+    "it": ["il", "di", "che", "e", "la", "per", "un", "non", "sono", "con"],
+    "pt": ["o", "de", "que", "e", "do", "da", "em", "um", "para", "com"],
+    "nl": ["de", "het", "een", "en", "van", "ik", "te", "dat", "die", "niet"],
+    "sv": ["och", "att", "det", "som", "en", "på", "är", "av", "för", "med"],
+    "pl": ["i", "w", "na", "z", "do", "to", "się", "nie", "jest", "że"],
+    "tr": ["bir", "ve", "bu", "da", "ne", "için", "ben", "de", "çok", "ama"],
+    "id": ["yang", "dan", "di", "itu", "dengan", "ini", "untuk", "dari",
+           "dalam", "tidak"],
 }
 
 # a BPE-ish tokenizer regex: words, numbers, or single non-space symbols
