@@ -174,6 +174,40 @@ def construct_kg(
     return mappings_to_triples(mappings)
 
 
+def construct_full_kg(
+    pages: DataFrame,
+    onto_terms: DataFrame,
+    cfg: MappingConfig | None = None,
+    out_path: str | None = None,
+    **kwargs,
+) -> DataFrame:
+    """The complete KG relation (north_star): mapping triples
+    (url#mention, mappedTo, iri) ∪ ontology hierarchy edges
+    (child, IS_A, parent) / (instance, INSTANCE_OF, class), one schema
+    (subj, pred, obj, score — null score on ontology-side edges).
+    Hierarchy edges are dimension-side: computed once per ontology
+    snapshot, negligible next to the page-side triples.
+
+    ``out_path``: when given, also materialize partitioned by ``pred`` —
+    the partitioned-graph-table layout (predicate-pruned reads: a
+    hierarchy traversal never scans the mappedTo partition and vice
+    versa)."""
+    from ontology_mapper_spark.operators.graph import hierarchy_edges
+
+    triples = construct_kg(pages, onto_terms, cfg, **kwargs)
+    edges = hierarchy_edges(onto_terms).select(
+        F.col("src").alias("subj"),
+        F.col("label").alias("pred"),
+        F.col("dst").alias("obj"),
+        F.lit(None).cast("double").alias("score"),
+    )
+    kg = triples.unionByName(edges)
+    if out_path:
+        kg.write.mode("overwrite").partitionBy("pred").parquet(out_path)
+        return pages.sparkSession.read.parquet(out_path)
+    return kg
+
+
 def mappings_to_triples(mappings: DataFrame) -> DataFrame:
     """Materialize mapping triples (subj=source_term_id, pred='mappedTo',
     obj=IRI) — SURVEY.md §1.3. Unmapped rows (empty IRI) carry no triple."""

@@ -186,3 +186,37 @@ def test_csv_sink_format(spark, onto, tmp_path):
     assert header.split(",")[:3] == ["Source Term ID", "Source Term",
                                      "Mapped Term Label"]
     assert any("were mapped to" in l for l in lines)
+
+
+@pytest.mark.spark
+def test_construct_full_kg_partitioned(spark, pages, onto, tmp_path):
+    """Mapping triples ∪ hierarchy edges in one relation, materialized
+    partitioned by pred (predicate-pruned graph-table layout)."""
+    from ontology_mapper_spark.pipeline import construct_full_kg
+
+    out = str(tmp_path / "kg")
+    kg = construct_full_kg(pages, onto, MappingConfig(max_mappings=1),
+                           out_path=out)
+    preds = {r["pred"] for r in kg.select("pred").distinct().collect()}
+    assert "mappedTo" in preds and "IS_A" in preds and "INSTANCE_OF" in preds
+    # partitioned layout on disk; a pred filter prunes to one directory
+    assert os.path.isdir(os.path.join(out, "pred=mappedTo"))
+    assert os.path.isdir(os.path.join(out, "pred=IS_A"))
+    # pred filter becomes a partition filter (pruned scan), and the pruned
+    # directory read agrees with the filtered count
+    import contextlib
+    import io
+
+    only_isa = kg.filter(F.col("pred") == "IS_A")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        only_isa.explain("formatted")
+    pf = [ln for ln in buf.getvalue().splitlines() if "PartitionFilters" in ln]
+    assert pf and "pred" in pf[0], buf.getvalue()
+    direct = spark.read.parquet(os.path.join(out, "pred=IS_A"))
+    assert direct.count() == only_isa.count()
+    # ontology-side edges carry null score; mapping triples carry one
+    assert kg.filter((F.col("pred") != "mappedTo") & F.col("score").isNotNull()
+                     ).count() == 0
+    assert kg.filter((F.col("pred") == "mappedTo") & F.col("score").isNull()
+                     ).count() == 0
