@@ -178,3 +178,32 @@ def test_cached_equals_fresh(spark, onto, tmp_path):
     a = sorted(map(tuple, fresh.collect()))
     b = sorted(map(tuple, from_cache.collect()))
     assert a == b
+
+
+@pytest.mark.spark
+def test_pipeline_edge_case_inputs(spark):
+    """Robustness: unicode terms, stopword-only terms (normalize to ""),
+    punctuation-only terms, very long terms, and null tags flow through the
+    whole pipeline without error; unmapped synthesis covers them all."""
+    from ontology_mapper_spark.pipeline import map_terms
+    from ontology_mapper_spark.sources.ontology import fixture_onto_terms
+
+    terms = [
+        "asthma",
+        "Asthme sévère (héréditaire)",     # accented unicode
+        "and the",                          # all stopwords -> norm ""
+        "!!! ---",                          # punctuation only
+        "x" * 2000,                         # very long single token
+        "naïve 中文 term",                  # mixed scripts
+    ]
+    cfg = MappingConfig(min_score=0.3, max_mappings=2, incl_unmapped=True)
+    out = map_terms(spark, terms, fixture_onto_terms(spark), cfg).collect()
+    by_term = {}
+    for r in out:
+        by_term.setdefault(r["source_term"], []).append(r)
+    assert set(by_term) == set(terms)  # every input surfaced
+    assert any(r["mapped_term_iri"] for r in by_term["asthma"])
+    for t in terms[2:5]:
+        rows = by_term[t]
+        assert len(rows) == 1 and rows[0]["tags"] == "unmapped", t
+        assert rows[0]["mapping_score"] == 0.0
