@@ -39,6 +39,7 @@ def map_terms_df(
     onto_terms: DataFrame,
     cfg: MappingConfig | None = None,
     tfidf_source_idf: tuple[dict, int] | None = None,
+    tags_absent: bool = False,
 ) -> DataFrame:
     """mentions(source_term_id, source_term, tags) x onto_terms -> mappings
     (source_term_id, source_term, mapped_term_label, mapped_term_curie,
@@ -47,7 +48,15 @@ def map_terms_df(
     ``tfidf_source_idf``: precomputed whole-corpus IDF (see
     ``operators.tfidf.source_idf_map``) for slice-wise execution — used by
     ``CheckpointedRun`` prepare_fn so per-bucket runs score against the
-    global corpus statistics."""
+    global corpus statistics.
+
+    ``tags_absent``: caller guarantees the tags column is all-null by
+    construction (e.g. ``detect_mentions`` emits a null literal). The
+    per-candidate tags attachment is then skipped: it is the pipeline's
+    only fact-x-fact shuffle (candidates x mentions on source_term_id),
+    measured ~30% of the headline KG job's wall, and a left-join miss
+    yields the identical null tags_out anyway. Catalyst cannot eliminate
+    the join itself (it can't prove right-side key uniqueness)."""
     cfg = cfg or MappingConfig()
     cfg.validate()
     onto = filter_terms_df(
@@ -108,6 +117,12 @@ def map_terms_df(
 
     if cfg.incl_unmapped:
         with_tags = post.add_unmapped(mapped, mentions)
+    elif tags_absent:
+        from pyspark.sql import types as T
+
+        with_tags = mapped.withColumn(
+            "tags_out", F.lit(None).cast(T.ArrayType(T.StringType()))
+        )
     else:
         with_tags = post.attach_tags_only(mapped, mentions)
     return post.finalize(with_tags)
@@ -170,6 +185,9 @@ def construct_kg(
         onto_terms,
         cfg,
         tfidf_source_idf=tfidf_source_idf,
+        # detect_mentions emits a null-literal tags column — the tags
+        # attachment join would be pure shuffle waste here
+        tags_absent=True,
     )
     return mappings_to_triples(mappings)
 

@@ -91,3 +91,32 @@ def test_prefiltered_rescoring_broadcasts_names(spark):
     p = plan_str(out)
     assert "BroadcastHashJoin" in p, p
     assert "SortMergeJoin" not in p, p
+
+
+@pytest.mark.spark
+def test_construct_kg_skips_tags_join(spark):
+    """construct_kg declares tags_absent (detect_mentions emits a null
+    literal): the candidates-x-mentions tags join — the pipeline's only
+    fact-x-fact shuffle — must be gone from the plan, and the output must
+    equal the un-optimized path exactly."""
+    from ontology_mapper_spark.pipeline import (
+        construct_kg,
+        map_terms_df,
+        mappings_to_triples,
+    )
+
+    pages = synthesize_pages(spark, 60)
+    onto = fixture_onto_terms(spark)
+    cfg = MappingConfig(max_mappings=1)
+    fast = construct_kg(pages, onto, cfg)
+    assert "SortMergeJoin" not in plan_str(fast), plan_str(fast)
+
+    mentions = detect_mentions(pages).select(
+        "source_term_id", "source_term", "tags"
+    )
+    slow = mappings_to_triples(
+        map_terms_df(mentions, onto, cfg, tags_absent=False)
+    )
+    assert sorted(map(tuple, fast.collect())) == sorted(
+        map(tuple, slow.collect())
+    )
