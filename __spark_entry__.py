@@ -183,6 +183,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["syntactic_prefiltered_levenshtein"] = syntactic_prefiltered_levenshtein
 
+    def pipeline_mappings(spark, sf):
+        # the COMPLETE map_terms_df surface in one gate entry: ignore-tag
+        # filtering, TF-IDF mapping, tag attachment, unmapped synthesis
+        # (with the reference's ignore-guard + "None" string quirks), CURIE
+        # projection (unresolvable demo IRIs -> ""), 3dp rounding
+        from ontology_mapper_spark.pipeline import map_terms_df
+        from ontology_mapper_spark.sources.demo_ontology import demo_onto_terms
+
+        m = _docs(spark, sf).select(
+            F.col("doc_id").cast("string").alias("source_term_id"),
+            F.array_join(F.slice(F.split("text", " "), 1, 3), " ").alias(
+                "source_term"
+            ),
+            F.when(F.col("doc_id") % 17 == 0, F.array(F.lit("Ignore")))
+            .when(F.col("doc_id") % 10 == 0, F.array(F.lit("keep")))
+            .otherwise(F.lit(None).cast("array<string>"))
+            .alias("tags"),
+        )
+        cfg = MappingConfig(min_score=0.3, max_mappings=3, incl_unmapped=True)
+        out = map_terms_df(m, demo_onto_terms(spark), cfg)
+        return out.select(
+            "source_term_id",
+            "source_term",
+            "mapped_term_label",
+            "mapped_term_curie",
+            "mapped_term_iri",
+            F.round(F.col("mapping_score") * 1000).cast("int").alias(
+                "score_milli"
+            ),
+            "tags",
+        )
+
+    q["pipeline_mappings"] = pipeline_mappings
+
     def unmapped_terms(spark, sf):
         # higher threshold so the anti-join path is non-trivially exercised
         cfg = MappingConfig(min_score=0.7, max_mappings=3)
@@ -683,6 +717,42 @@ fin AS (
 SELECT source_term_id, source_term, iri AS mapped_term_iri,
        CAST(round(sim * 1000) AS INT) AS score_milli
 FROM fin"""
+    )
+
+    _ALL_MENTIONS_CTE = """all_mentions AS (
+  SELECT CAST(doc_id AS VARCHAR) AS source_term_id,
+         array_to_string((string_split(text, ' '))[1:3], ' ') AS source_term,
+         CASE WHEN doc_id % 17 = 0 THEN 'Ignore'
+              WHEN doc_id % 10 = 0 THEN 'keep' END AS tag
+  FROM documents
+),
+mentions AS (
+  SELECT source_term_id, source_term FROM all_mentions
+  WHERE tag IS DISTINCT FROM 'Ignore'
+)"""
+    o["pipeline_mappings"] = (
+        _tfidf_cte(mentions_cte=_ALL_MENTIONS_CTE)
+        + """,
+mapped AS (
+  SELECT f.source_term_id, f.source_term,
+         f.display_label AS mapped_term_label,
+         '' AS mapped_term_curie,
+         f.iri AS mapped_term_iri,
+         CAST(round(round(f.score, 3) * 1000) AS INT) AS score_milli,
+         coalesce(am.tag, 'None') AS tags
+  FROM final f JOIN all_mentions am USING (source_term_id)
+),
+unmapped AS (
+  SELECT source_term_id, source_term,
+         '' AS mapped_term_label, '' AS mapped_term_curie,
+         '' AS mapped_term_iri, 0 AS score_milli,
+         CASE WHEN tag = 'Ignore' THEN 'Ignore'
+              WHEN tag IS NULL THEN 'unmapped'
+              ELSE tag || ',unmapped' END AS tags
+  FROM all_mentions
+  WHERE source_term NOT IN (SELECT source_term FROM final)
+)
+SELECT * FROM mapped UNION ALL SELECT * FROM unmapped"""
     )
 
     o["unmapped_terms"] = (

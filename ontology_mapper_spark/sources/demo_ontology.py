@@ -51,6 +51,31 @@ def demo_onto_labels(spark: SparkSession) -> DataFrame:
     )
 
 
+def demo_onto_terms(spark: SparkSession) -> DataFrame:
+    """The demo ontology as a full onto_terms relation (for gate queries
+    that exercise the WHOLE map_terms_df pipeline, not just the label
+    side). ``onto_labels_df(filter_terms_df(...))`` over this reproduces
+    ``demo_onto_labels`` exactly."""
+    from ontology_mapper_spark.sources.ontology import onto_terms_from_rows
+
+    rows = [
+        {
+            "iri": iri,
+            "labels": [label],
+            "synonyms": list(synonyms),
+            "definitions": [],
+            "parents": {},
+            "children": {},
+            "instances": {},
+            "restrictions": {},
+            "deprecated": False,
+            "term_type": "class",
+        }
+        for iri, label, synonyms in DEMO_TERMS
+    ]
+    return onto_terms_from_rows(spark, rows)
+
+
 def demo_onto_values_sql() -> str:
     """DuckDB VALUES clause mirroring ``demo_onto_labels`` exactly."""
     vals = ",\n    ".join(
