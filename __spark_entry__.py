@@ -352,6 +352,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_windowed"] = events_windowed
 
+    def events_sessionize(spark, sf):
+        # gap-based sessionization — the classic analytic-window pattern
+        # (lag -> gap flag -> cumulative session ordinal -> per-session agg);
+        # all native expressions, one shuffle on user_id
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        # microsecond-exact gap (unix_micros == DuckDB epoch_us: integer
+        # arithmetic on both engines, no truncation boundary risk); ts is
+        # TIMESTAMP_NTZ in the parquet — cast under the pinned UTC session
+        micros = F.unix_micros(F.col("ts").cast("timestamp"))
+        gap = micros - F.lag(micros).over(by_user)
+        flagged = ev.withColumn(
+            "new_session",
+            F.when(gap.isNull() | (gap > 1800 * 1_000_000), F.lit(1)).otherwise(
+                F.lit(0)
+            ),
+        )
+        sessions = flagged.withColumn(
+            "session_no", F.sum("new_session").over(by_user)
+        )
+        return (
+            sessions.groupBy("user_id", "session_no")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                    "session_start"
+                ),
+                F.round(F.sum("value"), 2).alias("sum_value"),
+            )
+        )
+
+    q["events_sessionize"] = events_sessionize
+
     def kg_pages_triples(spark, sf):
         # flagship end-to-end: synthesized pages -> frozen HTML extraction
         # -> mention detection -> TF-IDF linking vs the fixture ontology ->
@@ -969,6 +1002,28 @@ SELECT media_id,
        sha,
        array_to_string(fb, '|') AS feature_bytes
 FROM b"""
+
+    o["events_sessionize"] = """
+WITH gaps AS (
+  SELECT user_id, event_id, ts, value,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+flagged AS (
+  SELECT *, CASE WHEN gap IS NULL OR gap > 1800 * 1000000 THEN 1 ELSE 0 END
+         AS new_session
+  FROM gaps
+),
+sess AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM flagged
+)
+SELECT user_id, session_no, count(*) AS n_events,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       round(sum(value), 2) AS sum_value
+FROM sess GROUP BY user_id, session_no"""
 
     o["topk_per_group"] = """
 SELECT l_orderkey, l_linenumber, l_extendedprice, rk FROM (
