@@ -265,6 +265,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["lang_id"] = lambda spark, sf: ts.lang_id(_docs(spark, sf))
     q["doc_fingerprint"] = lambda spark, sf: ts.doc_fingerprint(_docs(spark, sf))
 
+    def corpus_rollup(spark, sf):
+        # grouping-sets coverage (SURVEY §2.2): corpus stats by
+        # (lang, source) with ROLLUP subtotals — Catalyst expands to one
+        # partial+final hash aggregate, no extra pass per grouping set
+        d = _docs(spark, sf)
+        return (
+            d.rollup("lang", "source")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").alias("total_chars"),
+                F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+            )
+            .select(
+                F.coalesce("lang", F.lit("<all>")).alias("lang"),
+                F.coalesce("source", F.lit("<all>")).alias("source"),
+                "n_docs",
+                "total_chars",
+                "avg_chars",
+            )
+        )
+
+    q["corpus_rollup"] = corpus_rollup
+
     def emb_topk(spark, sf):
         e = _emb(spark, sf)
         queries_df = e.filter(F.col("vec_id") < 5).select(
@@ -924,6 +947,14 @@ fin AS (
   FROM scored QUALIFY rk <= 5
 )
 SELECT query_id, vec_id, round(cosine, 6) AS cosine, rk FROM fin"""
+
+    o["corpus_rollup"] = """
+SELECT coalesce(lang, '<all>') AS lang,
+       coalesce(source, '<all>') AS source,
+       count(*) AS n_docs,
+       sum(n_chars) AS total_chars,
+       round(avg(n_chars), 6) AS avg_chars
+FROM documents GROUP BY ROLLUP (lang, source)"""
 
     o["embedding_neardup"] = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
