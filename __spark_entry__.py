@@ -488,6 +488,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["multimodal_decode"] = multimodal_decode
 
+    def multimodal_resize(spark, sf):
+        # resize plumbing over documents' bytes; 'resized' binary projected
+        # to hex so the gate canonicalizer sorts it and DuckDB can rebuild
+        # it (tag-bytes hex || sha256 hex)
+        from ontology_mapper_spark.operators.multimodal import resize_images
+
+        media = _docs(spark, sf).select(
+            F.col("doc_id").cast("string").alias("media_id"),
+            F.encode("text", "UTF-8").alias("content"),
+        )
+        out = resize_images(media, target_w=224, target_h=224)
+        # resized_sha (sha256 of a BLOB) is not DuckDB-expressible; it is
+        # pytest-covered instead — the gate checks the payload itself
+        return out.select(
+            "media_id",
+            "target_w",
+            "target_h",
+            F.hex("resized").alias("resized_hex"),
+        )
+
+    q["multimodal_resize"] = multimodal_resize
+
     return q
 
 
@@ -1055,6 +1077,12 @@ SELECT user_id, session_no, count(*) AS n_events,
        strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
        round(sum(value), 2) AS sum_value
 FROM sess GROUP BY user_id, session_no"""
+
+    o["multimodal_resize"] = """
+SELECT CAST(doc_id AS VARCHAR) AS media_id,
+       224 AS target_w, 224 AS target_h,
+       upper(hex(encode('resized:224x224:')) || sha256(text)) AS resized_hex
+FROM documents"""
 
     o["topk_per_group"] = """
 SELECT l_orderkey, l_linenumber, l_extendedprice, rk FROM (

@@ -86,6 +86,65 @@ def decode_image_features(
     )
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("target_w", T.IntegerType()),
+        T.StructField("target_h", T.IntegerType()),
+        T.StructField("resized", T.BinaryType()),
+        T.StructField("resized_sha", T.StringType()),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame,
+    target_w: int = 224,
+    target_h: int = 224,
+    id_col: str = "media_id",
+    bytes_col: str = "content",
+    strict: bool = False,
+) -> DataFrame:
+    """Resize plumbing (task brief): binary in -> binary out, Arrow-batched,
+    no driver materialization. The pixel work is STUBBED like the decoder
+    (no image libs in this container): the fake 'resized' payload is a
+    deterministic digest-derived byte string tagged with the target dims, so
+    schema / batch shape / partitioning — the distributed parts — are real
+    and tested; swapping in Pillow's ``Image.resize`` is a one-function
+    change inside the kernel."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if strict:
+            raise NotImplementedError(
+                "real image resize requires an image codec library; "
+                "use strict=False for the deterministic fake"
+            )
+        for pdf in batches:
+            rows = []
+            for mid, data in zip(pdf[id_col], pdf[bytes_col]):
+                data = bytes(data)
+                tag = f"resized:{target_w}x{target_h}:".encode()
+                payload = tag + hashlib.sha256(data).digest()
+                rows.append(
+                    (
+                        str(mid),
+                        target_w,
+                        target_h,
+                        payload,
+                        hashlib.sha256(payload).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "target_w", "target_h", "resized",
+                         "resized_sha"],
+            )
+
+    return media.select(id_col, bytes_col).mapInPandas(
+        resize, schema=RESIZED_SCHEMA
+    )
+
+
 def frame_sample_plan(
     media: DataFrame,
     every_n: int = 10,

@@ -223,3 +223,23 @@ def test_ivf_cosine_topk_recall(spark):
     for q, _v in g:
         per_q[q] = per_q.get(q, 0) + 1
     assert max(per_q.values()) <= 3
+
+
+@pytest.mark.spark
+def test_multimodal_resize_plumbing(spark):
+    from ontology_mapper_spark.operators.multimodal import resize_images
+
+    media = spark.createDataFrame(
+        [("m1", b"\x89PNG fake bytes"), ("m2", b"\xff\xd8 other bytes")],
+        ["media_id", "content"],
+    )
+    out = resize_images(media, target_w=64, target_h=32).collect()
+    assert len(out) == 2
+    import hashlib as h
+    for r in out:
+        assert (r["target_w"], r["target_h"]) == (64, 32)
+        payload = bytes(r["resized"])
+        assert payload.startswith(b"resized:64x32:")
+        assert r["resized_sha"] == h.sha256(payload).hexdigest()
+    with pytest.raises(Exception, match="NotImplementedError|resize"):
+        resize_images(media, strict=True).collect()
