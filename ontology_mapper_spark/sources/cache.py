@@ -32,6 +32,17 @@ def cache_exists(acronym: str, cache_root: str = "cache") -> bool:
     return os.path.isdir(cache_dir_for(acronym, cache_root))
 
 
+def clear_cache(acronym: str = "", cache_root: str = "cache") -> None:
+    """Reference ``onto_cache.clear_cache`` (``onto_cache.py:38-50``):
+    remove one acronym's cached tables, or the whole cache root when no
+    acronym is given."""
+    import shutil
+
+    target = os.path.join(cache_root, acronym) if acronym else cache_root
+    if os.path.isdir(target):
+        shutil.rmtree(target)
+
+
 def cache_ontology(
     spark: SparkSession,
     ontology_path: str,
@@ -87,6 +98,12 @@ class OntologyCache:
             excl_deprecated,
             term_type,
         )
+
+    def cache_exists(self) -> bool:
+        return cache_exists(self.acronym, self.cache_root)
+
+    def clear_cache(self) -> None:
+        clear_cache(self.acronym, self.cache_root)
 
     def map_terms(self, source_terms, cfg: MappingConfig | None = None) -> DataFrame:
         from ontology_mapper_spark.pipeline import map_terms

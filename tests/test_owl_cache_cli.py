@@ -232,6 +232,12 @@ def test_cache_and_registry(spark, owl_file, tmp_path):
     # property filter flows through the cache read
     props = handle.terms(term_type="property").collect()
     assert len(props) == 6
+    # clear_cache parity (reference onto_cache.py:38-50,66-73)
+    assert handle.cache_exists()
+    caches["FIX2"].clear_cache()
+    assert not cache_exists("FIX2", root) and handle.cache_exists()
+    handle.clear_cache()
+    assert not handle.cache_exists()
 
 
 @pytest.mark.slow
