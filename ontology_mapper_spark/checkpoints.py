@@ -147,8 +147,20 @@ class CheckpointedRun:
     def _read_output(self) -> DataFrame:
         """All buckets' output; the bucket=N layout is an on-disk detail, so
         the partition-discovered column is dropped — output schema equals
-        build_fn's, comparable 1:1 with an unbucketed run."""
-        return self.spark.read.parquet(self.data_dir).drop("bucket")
+        build_fn's, comparable 1:1 with an unbucketed run. Guard: when
+        build_fn's own output carries a ``bucket`` column (present in the
+        per-bucket files themselves, not just the directory name), it is
+        kept."""
+        df = self.spark.read.parquet(self.data_dir)
+        for entry in os.listdir(self.data_dir):
+            if entry.startswith("bucket="):
+                inner = self.spark.read.parquet(
+                    os.path.join(self.data_dir, entry)
+                )
+                if "bucket" in inner.columns:
+                    return df  # data column, not the layout artifact
+                break
+        return df.drop("bucket")
 
     def _run_bucket(
         self,
