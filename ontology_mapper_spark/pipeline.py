@@ -134,13 +134,28 @@ def map_terms(
     onto_terms: DataFrame,
     cfg: MappingConfig | None = None,
     source_terms_ids: list[str] | None = None,
+    csv_columns: tuple = (),
+    separator: str = ",",
 ) -> DataFrame:
     """Reference-shaped convenience API: accepts list[str] | dict[term->tags]
-    | DataFrame (``t2t.py:138-160`` input shapes)."""
+    | DataFrame | file path (``t2t.py:138-179`` input shapes: a str is a
+    newline term list, or a CSV/TSV when ``csv_columns`` names the term —
+    and optionally the id — column)."""
     if isinstance(source_terms, DataFrame):
         mentions = source_terms
     elif isinstance(source_terms, dict):
         mentions = term_src.mentions_from_dict(spark, source_terms)
+    elif isinstance(source_terms, str):
+        if csv_columns:
+            mentions = term_src.mentions_from_csv(
+                spark,
+                source_terms,
+                csv_columns[0],
+                csv_columns[1] if len(csv_columns) > 1 else "",
+                separator,
+            )
+        else:
+            mentions = term_src.mentions_from_file(spark, source_terms)
     else:
         mentions = term_src.mentions_from_list(
             spark, list(source_terms), source_terms_ids

@@ -207,3 +207,25 @@ def test_pipeline_edge_case_inputs(spark):
         rows = by_term[t]
         assert len(rows) == 1 and rows[0]["tags"] == "unmapped", t
         assert rows[0]["mapping_score"] == 0.0
+
+
+@pytest.mark.spark
+def test_map_terms_accepts_file_paths(spark, tmp_path):
+    """Reference input-shape parity (t2t.py:138-179): a str source is a
+    newline list file, or CSV/TSV when csv_columns is given."""
+    from ontology_mapper_spark.pipeline import map_terms
+    from ontology_mapper_spark.sources.ontology import fixture_onto_terms
+
+    onto = fixture_onto_terms(spark)
+    lst = tmp_path / "terms.txt"
+    lst.write_text("asthma\nacute bronchitis\n")
+    a = map_terms(spark, str(lst), onto, MappingConfig(max_mappings=1))
+    assert {r["source_term"] for r in a.collect()} == {"asthma",
+                                                       "acute bronchitis"}
+
+    csv = tmp_path / "terms.tsv"
+    csv.write_text("term\tterm_id\nasthma\tID1\n")
+    b = map_terms(spark, str(csv), onto, MappingConfig(max_mappings=1),
+                  csv_columns=("term", "term_id"), separator="\t")
+    rows = b.collect()
+    assert rows and all(r["source_term_id"] == "ID1" for r in rows)
