@@ -155,27 +155,51 @@ def main() -> None:
     # (the sandbox substitution for N vs 4N executors).
     cores_high = min(8, CPUS)
     cores_low = max(2, cores_high // 4)
-    scaling = {}
-    kg_stats = {}
-    # The host has strong time-varying contention (cpu_probe fluctuates
-    # ~3x between runs); interleave the two levels and take the min over
-    # repeats so a noisy window cannot skew the ratio one-sided.
-    repeats = int(os.environ.get("BENCH_REPEATS", "2"))
-    best: dict[str, dict] = {}
+    # The host has strong time-varying neighbor contention (cpu_probe
+    # fluctuates ~3x). An external ~K-core load hits the high-parallelism
+    # run disproportionately (the low run has spare physical headroom), so
+    # mixing measurements from different load windows skews the ratio.
+    # Method: measure (high, low) back-to-back per ROUND — one consistent
+    # window — and report the round taken under the QUIETEST observed
+    # window (highest embedded 1-proc burn), a load-based selection made
+    # before looking at the ratio. All rounds ship in the JSON.
+    repeats = int(os.environ.get("BENCH_REPEATS", "3"))
+    rounds: list[dict] = []
     for _ in range(repeats):
+        r: dict[str, dict] = {}
         for cores, tag in ((cores_high, "high"), (cores_low, "low")):
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--kg-run",
                  str(cores), str(N_PAGES)],
                 capture_output=True, text=True, check=True,
             )
-            r = json.loads(out.stdout.strip().splitlines()[-1])
-            if tag not in best or r["sec"] < best[tag]["sec"]:
-                best[tag] = r
-    for cores, tag in ((cores_low, "low"), (cores_high, "high")):
-        scaling[f"cores_{tag}"] = cores
-        scaling[f"sec_{tag}"] = best[tag]["sec"]
-    b = best["high"]
+            r[tag] = json.loads(out.stdout.strip().splitlines()[-1])
+        rounds.append(
+            {
+                "sec_high": r["high"]["sec"],
+                "sec_low": r["low"]["sec"],
+                "burn_high": r["high"]["burn_1proc"],
+                "burn_low": r["low"]["burn_1proc"],
+                "efficiency": round(
+                    (r["low"]["sec"] / r["high"]["sec"])
+                    / (cores_high / cores_low), 3
+                ),
+                "_high": r["high"],
+            }
+        )
+    best = max(rounds, key=lambda x: min(x["burn_high"], x["burn_low"]))
+    scaling = {
+        "cores_low": cores_low,
+        "cores_high": cores_high,
+        "sec_low": best["sec_low"],
+        "sec_high": best["sec_high"],
+        "efficiency": best["efficiency"],
+        "rounds": [
+            {k: v for k, v in rd.items() if not k.startswith("_")}
+            for rd in rounds
+        ],
+    }
+    b = best["_high"]
     kg_stats = {
         "pages": N_PAGES,
         "mentions": b["mentions"],
@@ -183,8 +207,6 @@ def main() -> None:
         "triples_per_sec": round(b["triples"] / b["sec"], 1),
         "mentions_per_sec": round(b["mentions"] / b["sec"], 1),
     }
-    speedup = scaling["sec_low"] / scaling["sec_high"]
-    scaling["efficiency"] = round(speedup / (cores_high / cores_low), 3)
     results["kg"] = kg_stats
     results["scaling"] = scaling
 
