@@ -5,6 +5,8 @@ re-expressed Spark-first (SURVEY.md).
 Public API (mirrors the reference's surface, ``t2t.py:31-34``):
     map_terms / map_terms_df  — free-text -> ontology mappings DataFrame
     construct_kg              — pages -> (subj, mappedTo, obj) triples
+    construct_full_kg         — triples ∪ hierarchy edges, pred-partitioned
+    cache_ontology / cache_ontology_set / cache_exists / clear_cache
     MappingConfig, Mapper, OntologyTermType
 """
 
@@ -14,11 +16,18 @@ from ontology_mapper_spark.config import (  # noqa: F401
     OntologyTermType,
 )
 from ontology_mapper_spark.pipeline import (  # noqa: F401
+    construct_full_kg,
     construct_kg,
     map_terms,
     map_terms_df,
     mappings_to_triples,
 )
 from ontology_mapper_spark.session import get_spark  # noqa: F401
+from ontology_mapper_spark.sources.cache import (  # noqa: F401
+    cache_exists,
+    cache_ontology,
+    cache_ontology_set,
+    clear_cache,
+)
 
 __version__ = "0.1.0"
