@@ -152,6 +152,7 @@ def bioportal_map(
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         memo: dict[str, list[tuple[str, str, float]]] = {}
         label_memo: dict[str, str] = {}
+        last_call = [0.0]
         for pdf in batches:
             ids, terms, lbls, iris, scs = [], [], [], [], []
             for sid, term in zip(pdf["source_term_id"], pdf["source_term"]):
@@ -165,7 +166,10 @@ def bioportal_map(
                     }
                     params.update(extra)
                     if min_interval_sec:
-                        time.sleep(min_interval_sec)
+                        wait = last_call[0] + min_interval_sec - time.time()
+                        if wait > 0:
+                            time.sleep(wait)
+                        last_call[0] = time.time()
                     resp = _call(transport, BIOPORTAL_URL, params, headers,
                                  throttle_wait_sec)
                     cands = []
