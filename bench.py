@@ -21,8 +21,6 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from pyspark.sql import functions as F  # noqa: E402
-
 from ontology_mapper_spark.config import MappingConfig  # noqa: E402
 from ontology_mapper_spark.pipeline import construct_kg  # noqa: E402
 from ontology_mapper_spark.session import get_spark  # noqa: E402

@@ -6,7 +6,7 @@ Mirrors the reference's query surface (`/root/reference/text2term/t2t.py:31-34`,
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 
 class Mapper:

@@ -35,11 +35,7 @@ from pyspark.sql import types as T
 
 from ontology_mapper_spark.config import MappingConfig
 from ontology_mapper_spark.functions.metrics import METRICS
-from ontology_mapper_spark.operators.tfidf import (
-    CANDIDATE_SCHEMA,
-    _TargetIndex,
-    build_target_index,
-)
+from ontology_mapper_spark.operators.tfidf import CANDIDATE_SCHEMA
 
 
 def _terms_with_names(onto_labels: DataFrame) -> list[tuple[str, str, list[str]]]:
