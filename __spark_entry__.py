@@ -978,6 +978,55 @@ SELECT coalesce(lang, '<all>') AS lang,
        round(avg(n_chars), 6) AS avg_chars
 FROM documents GROUP BY ROLLUP (lang, source)"""
 
+    # lsh_ann_topk: 'approximate' but fully deterministic — the md5-derived
+    # hyperplanes are reproducible in SQL, so the whole bucket+rerank
+    # pipeline has an exact DuckDB twin (planes inlined as VALUES).
+    from ontology_mapper_spark.operators.similarity import _hyperplane
+
+    plane_vals = []
+    for t in range(4):
+        for p in range(8):
+            coeffs = _hyperplane(t * 8 + p, 64)
+            for d, c in enumerate(coeffs):
+                plane_vals.append(f"({t}, {t * 8 + p}, {d + 1}, {c:.1f})")
+    o["lsh_ann_topk"] = (
+        "WITH planes(t, p, d, c) AS (\n  SELECT * FROM (VALUES\n    "
+        + ",\n    ".join(plane_vals)
+        + "\n  ) AS pv(t, p, d, c)\n)"
+        + """,
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sgn AS (
+  SELECT e.vec_id, pl.t, pl.p,
+         CASE WHEN sum(pl.c * e.v[pl.d]) >= 0 THEN '1' ELSE '0' END AS s
+  FROM e JOIN planes pl ON TRUE
+  GROUP BY e.vec_id, pl.t, pl.p
+),
+buckets AS (
+  SELECT vec_id, t,
+         CAST(t AS VARCHAR) || '_' || string_agg(s, '' ORDER BY p) AS bucket
+  FROM sgn GROUP BY vec_id, t
+),
+q AS (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 5),
+cand AS (
+  SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id
+  FROM buckets qb
+  JOIN q ON q.query_id = qb.vec_id
+  JOIN buckets cb ON cb.t = qb.t AND cb.bucket = qb.bucket
+),
+scored AS (
+  SELECT c.query_id, c.vec_id,
+         list_cosine_similarity(eq.v, ec.v) AS cosine
+  FROM cand c
+  JOIN e eq ON eq.vec_id = c.query_id
+  JOIN e ec ON ec.vec_id = c.vec_id
+),
+fin AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk
+  FROM scored QUALIFY rk <= 5
+)
+SELECT query_id, vec_id, round(cosine, 6) AS cosine, rk FROM fin"""
+    )
+
     o["embedding_neardup"] = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -18,9 +18,11 @@ def test_oracle_keys_subset_of_queries():
     q = set(entrymod.queries())
     o = set(entrymod.oracle_sql())
     assert o <= q, f"oracle without query: {o - q}"
-    # engine-only entries: the ANN variants are approximate by design
-    # (their recall-vs-exact guarantees live in tests/test_training_ops.py)
-    assert q - o == {"lsh_ann_topk", "ivf_ann_topk"}
+    # the single remaining engine-only entry: IVF's driver-side k-means is
+    # not SQL-expressible (recall-vs-exact guarantee in
+    # tests/test_training_ops.py); LSH ANN is deterministic and fully
+    # oracle-checked
+    assert q - o == {"ivf_ann_topk"}
 
 
 @pytest.mark.spark
