@@ -275,7 +275,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .agg(
                 F.count(F.lit(1)).alias("n_docs"),
                 F.sum("n_chars").alias("total_chars"),
-                F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+            )
+            # avg as exact-long sum / exact-long count: one double division,
+            # summation-order independent (r2 VERDICT #3 — F.avg over longs
+            # accumulates in floating point, so a different partition count
+            # could flip a 6dp rounding boundary)
+            .withColumn(
+                "avg_chars",
+                F.round(F.col("total_chars") / F.col("n_docs"), 6),
             )
             .select(
                 F.coalesce("lang", F.lit("<all>")).alias("lang"),
@@ -357,11 +364,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # event-time tumbling windows — the batch twin of
         # streaming.ingest.mention_rate's watermarked aggregation
         ev = spark.read.parquet(f"{sf}/events.parquet")
+        # exact integer-cents aggregation — same order-independence
+        # hardening as events_sessionize (r2 VERDICT #3)
+        cents = F.round(F.col("value") * 100, 0).cast("long")
         return (
             ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
             .agg(
                 F.count(F.lit(1)).alias("n_events"),
-                F.round(F.sum("value"), 2).alias("sum_value"),
+                F.round(F.sum(cents) / 100.0, 2).alias("sum_value"),
             )
             .select(
                 F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
@@ -395,6 +405,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         sessions = flagged.withColumn(
             "session_no", F.sum("new_session").over(by_user)
         )
+        # sum(value) over doubles is summation-order dependent (r2 VERDICT
+        # #3): aggregate exact integer cents instead — round(value*100) is
+        # the same IEEE double on both engines, long sums are exact, and the
+        # single /100.0 division is deterministic regardless of partitioning
+        cents = F.round(F.col("value") * 100, 0).cast("long")
         return (
             sessions.groupBy("user_id", "session_no")
             .agg(
@@ -402,7 +417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias(
                     "session_start"
                 ),
-                F.round(F.sum("value"), 2).alias("sum_value"),
+                F.round(F.sum(cents) / 100.0, 2).alias("sum_value"),
             )
         )
 
@@ -703,6 +718,99 @@ def _fixture_instance_values() -> str:
     return ",\n    ".join(vals)
 
 
+def _ivf_oracle_sql(
+    k: int = 5, n_lists: int = 16, n_probe: int = 4, sample_size: int = 2048
+) -> str:
+    """DuckDB twin of ``ivf_cosine_topk`` (r2 VERDICT directive #4).
+
+    The coarse quantizer is deterministic: centroids come from
+    ``_train_centroids`` over the lowest ``sample_size`` vec_ids — the same
+    numpy routine the Spark path runs driver-side — and are inlined as a
+    VALUES table with shortest-repr doubles (bit-exact round-trip).  The
+    SQL then independently re-derives what the cluster actually computes:
+    list assignment (argmax dot, first-max tie -> lowest list_id, matching
+    numpy argmax / the stable-sort probe UDF), top-``n_probe`` probe lists
+    per query, and exact-cosine re-rank over only the probed lists.
+
+    The sample is read from ``$ONTOMAP_ORACLE_SF_DIR`` (default the
+    driver's gate dir /root/testdata/sf0.01) because ``oracle_sql()`` takes
+    no sf argument; tools/check_entry.py sets the env var to its sf dir so
+    local rehearsal trains on the same rows the Spark side reads.
+    """
+    import pyarrow.parquet as pq
+
+    from ontology_mapper_spark.operators.similarity import _train_centroids
+
+    sf_dir = os.environ.get("ONTOMAP_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    tbl = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).to_pandas()
+    tbl = tbl.sort_values("vec_id").head(sample_size)
+    sample = [[float(x) for x in v] for v in tbl["embedding"]]
+    n_lists = min(n_lists, len(sample))
+    centroids = _train_centroids(sample, n_lists, iters=8)
+
+    cent_vals = []
+    for j in range(n_lists):
+        for d in range(centroids.shape[1]):
+            cent_vals.append(f"({j}, {d}, {centroids[j, d]!r})")
+    return (
+        "WITH centd(list_id, d, c) AS (\n  SELECT * FROM (VALUES\n    "
+        + ",\n    ".join(cent_vals)
+        + "\n  ) AS cv(list_id, d, c)\n)"
+        + f""",
+cents AS (
+  SELECT list_id, list(c ORDER BY d) AS cv FROM centd GROUP BY list_id
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+en AS (
+  SELECT vec_id, v,
+         list_transform(
+           v, x -> x / greatest(sqrt(list_sum(list_transform(v, y -> y * y))),
+                                1e-12)) AS vn
+  FROM e
+),
+-- corpus list assignment: argmax dot (first max -> lowest list_id)
+adot AS (
+  SELECT en.vec_id, en.v, c.list_id,
+         list_dot_product(en.vn, c.cv) AS dot
+  FROM en CROSS JOIN cents c
+),
+assign AS (
+  SELECT vec_id, v, list_id,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY dot DESC, list_id) AS r
+  FROM adot
+),
+corpus AS (SELECT vec_id, v, list_id FROM assign WHERE r = 1),
+-- query probe lists: top n_probe by the same dot order
+qdot AS (
+  SELECT en.vec_id AS query_id, en.v AS qv, c.list_id,
+         list_dot_product(en.vn, c.cv) AS dot
+  FROM en CROSS JOIN cents c
+  WHERE en.vec_id < 5
+),
+probes AS (
+  SELECT query_id, qv, list_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY dot DESC, list_id) AS r
+    FROM qdot
+  ) t WHERE r <= {n_probe}
+),
+scored AS (
+  SELECT p.query_id, c.vec_id,
+         list_cosine_similarity(p.qv, c.v) AS cosine
+  FROM probes p JOIN corpus c USING (list_id)
+),
+fin AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, vec_id) AS rk
+  FROM scored QUALIFY rk <= {k}
+)
+SELECT query_id, vec_id, round(cosine, 6) AS cosine, rk FROM fin"""
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
 
@@ -970,12 +1078,16 @@ fin AS (
 )
 SELECT query_id, vec_id, round(cosine, 6) AS cosine, rk FROM fin"""
 
+    # CAST(sum(..) AS BIGINT): DuckDB sums BIGINT into HUGEINT, which pandas
+    # widens to float64 and the driver's value hash then reads 675.0 vs
+    # Spark's 675 (r2 VERDICT #1).  avg = exact sum / exact count, matching
+    # the Spark side's single-division form.
     o["corpus_rollup"] = """
 SELECT coalesce(lang, '<all>') AS lang,
        coalesce(source, '<all>') AS source,
        count(*) AS n_docs,
-       sum(n_chars) AS total_chars,
-       round(avg(n_chars), 6) AS avg_chars
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       round(CAST(sum(n_chars) AS BIGINT) / count(*), 6) AS avg_chars
 FROM documents GROUP BY ROLLUP (lang, source)"""
 
     # lsh_ann_topk: 'approximate' but fully deterministic — the md5-derived
@@ -1027,6 +1139,11 @@ fin AS (
 SELECT query_id, vec_id, round(cosine, 6) AS cosine, rk FROM fin"""
     )
 
+    # ivf_ann_topk: same graduation pattern as lsh_ann_topk — deterministic
+    # trained centroids inlined as VALUES, assignment/probe/re-rank
+    # re-derived in SQL (r2 VERDICT #4: was the last "no_oracle" row).
+    o["ivf_ann_topk"] = _ivf_oracle_sql(k=5, n_lists=16, n_probe=4)
+
     o["embedding_neardup"] = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -1064,7 +1181,7 @@ SELECT src, dst, 'INSTANCE_OF' AS label FROM inst"""
 SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
        event_type,
        count(*) AS n_events,
-       round(sum(value), 2) AS sum_value
+       round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS sum_value
 FROM events GROUP BY 1, 2"""
 
     o["kg_pages_triples"] = (
@@ -1118,13 +1235,15 @@ flagged AS (
   FROM gaps
 ),
 sess AS (
-  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                   ROWS UNBOUNDED PRECEDING) AS session_no
+  -- CAST .. AS BIGINT: DuckDB's windowed sum(BIGINT) yields HUGEINT ->
+  -- pandas float64 -> driver hash mismatch vs Spark's int64 (r2 VERDICT #1)
+  SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
   FROM flagged
 )
 SELECT user_id, session_no, count(*) AS n_events,
        strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
-       round(sum(value), 2) AS sum_value
+       round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS sum_value
 FROM sess GROUP BY user_id, session_no"""
 
     o["multimodal_resize"] = """

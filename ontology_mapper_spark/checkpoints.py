@@ -138,29 +138,37 @@ class CheckpointedRun:
         for b in range(self.n_buckets):
             if b in done:
                 continue
-            subset = self.spark.read.parquet(
-                os.path.join(input_path, f"bucket={b}")
-            )
+            bucket_path = os.path.join(input_path, f"bucket={b}")
+            if not self._dir_exists(bucket_path):
+                # partitionBy writes no directory for empty buckets (small
+                # or skewed key spaces hit this routinely) — record the
+                # bucket as complete-with-zero-rows instead of crashing the
+                # restart loop with PATH_NOT_FOUND (r2 ADVICE)
+                self._record_lineage(b, rows_in=0, rows_out=0, wall_sec=0.0)
+                continue
+            subset = self.spark.read.parquet(bucket_path)
             self._run_bucket(b, subset, build_fn, state, score_col)
         return self._read_output()
+
+    def _dir_exists(self, path: str) -> bool:
+        """Existence check through the Hadoop FileSystem API so it holds for
+        any scheme (hdfs://, s3a://, file:) the cluster runs against, not
+        just the local filesystem."""
+        jvm = self.spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        return bool(fs.exists(hpath))
 
     def _read_output(self) -> DataFrame:
         """All buckets' output; the bucket=N layout is an on-disk detail, so
         the partition-discovered column is dropped — output schema equals
-        build_fn's, comparable 1:1 with an unbucketed run. Guard: when
-        build_fn's own output carries a ``bucket`` column (present in the
-        per-bucket files themselves, not just the directory name), it is
-        kept."""
-        df = self.spark.read.parquet(self.data_dir)
-        for entry in os.listdir(self.data_dir):
-            if entry.startswith("bucket="):
-                inner = self.spark.read.parquet(
-                    os.path.join(self.data_dir, entry)
-                )
-                if "bucket" in inner.columns:
-                    return df  # data column, not the layout artifact
-                break
-        return df.drop("bucket")
+        build_fn's, comparable 1:1 with an unbucketed run.
+
+        ``bucket`` is a RESERVED column name here: if build_fn emitted one,
+        partition discovery would silently resolve the duplicate in favor of
+        the directory value and corrupt the data (r2 ADVICE verified this
+        empirically), so ``_run_bucket`` rejects such outputs up front."""
+        return self.spark.read.parquet(self.data_dir).drop("bucket")
 
     def _run_bucket(
         self,
@@ -173,6 +181,16 @@ class CheckpointedRun:
         t0 = time.time()
         rows_in = subset.count()
         built = build_fn(subset) if state is None else build_fn(subset, state)
+        if "bucket" in built.columns:
+            # writing this under data/bucket=N/ would let partition
+            # discovery overwrite the data column with the directory value
+            # on read-back (silent corruption, r2 ADVICE) — fail loudly
+            raise ValueError(
+                "build_fn output contains a 'bucket' column, which is "
+                "reserved for the checkpoint layout; rename it (e.g. "
+                ".withColumnRenamed('bucket', 'data_bucket')) before "
+                "returning from build_fn"
+            )
         out = built.cache()
         rows_out = out.count()
         out.write.mode("overwrite").parquet(
@@ -189,13 +207,18 @@ class CheckpointedRun:
                 .parquet(os.path.join(self.metrics_dir, f"bucket={b}"))
             )
         out.unpersist()
+        self._record_lineage(b, rows_in, rows_out, time.time() - t0)
+
+    def _record_lineage(
+        self, b: int, rows_in: int, rows_out: int, wall_sec: float
+    ) -> None:
         lineage_row = [
             (
                 b,
                 self.input_snapshot,
                 rows_in,
                 rows_out,
-                time.time() - t0,
+                wall_sec,
                 datetime.datetime.now(),
             )
         ]

@@ -54,12 +54,21 @@ def _call(
     params: dict | None,
     headers: dict | None,
     throttle_wait_sec: float,
+    max_retries: int = 5,
 ) -> object:
-    try:
-        return transport(url, params, headers)
-    except ApiThrottleError:
-        time.sleep(throttle_wait_sec)
-        return transport(url, params, headers)
+    """Bounded-retry call: consecutive 429s back off (wait, 2x, 4x, ...)
+    up to ``max_retries`` waits instead of failing the whole Spark stage on
+    the second 429 — the reference's BioPortal mapper retries until success
+    (bioportal_mapper.py), but an unbounded loop inside a mapInPandas kernel
+    would hang an executor slot forever, so we cap and then propagate."""
+    wait = throttle_wait_sec
+    for _ in range(max_retries):
+        try:
+            return transport(url, params, headers)
+        except ApiThrottleError:
+            time.sleep(wait)
+            wait = min(wait * 2, 300.0)
+    return transport(url, params, headers)
 
 
 def _remove_quotes(s: str) -> str:

@@ -57,7 +57,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_bucket: int | None = None,
+    max_bucket: int | None = 10_000,
 ) -> DataFrame:
     """All (a, b) doc pairs with shingle-set Jaccard >= threshold, a < b.
     Inverted-index join on shingles; |intersection| from the match count,
@@ -65,10 +65,13 @@ def ngram_jaccard_pairs(
 
     This operator is quadratic *inside a shingle bucket* — it is the
     verification stage; generate candidates with MinHash LSH at corpus
-    scale. ``max_bucket`` makes that contract executable: when set, any
-    shingle shared by more than ``max_bucket`` docs raises at action time
-    (native ``raise_error`` guard — misuse fails loudly instead of fanning
-    out quadratically). None = exact semantics, no guard."""
+    scale. ``max_bucket`` makes that contract executable: any shingle
+    shared by more than ``max_bucket`` docs raises at action time (native
+    ``raise_error`` guard — misuse fails loudly instead of fanning out
+    quadratically). Default ON at 10k (a 10k-doc bucket already implies
+    ~5x10^7 candidate pairs from one shingle); pass ``max_bucket=None`` as
+    the explicit escape hatch for exact unguarded semantics (r2 VERDICT
+    #9 flipped this from opt-in to default-on)."""
     sh = docs.select(
         F.col(id_col).alias("doc"),
         F.explode(word_shingles(F.col(text_col), k)).alias("shingle"),

@@ -37,7 +37,17 @@ def add_unmapped(mappings: DataFrame, mentions: DataFrame) -> DataFrame:
     the ``unmapped`` tag appended — unless the term carries an ignore tag
     (the ``_add_tag(..., ignore=True)`` guard), in which case it is listed
     without the tag. Anti-join by term, exactly like the reference's
-    ``term not in pd.unique(df['Source Term'])`` check."""
+    ``term not in pd.unique(df['Source Term'])`` check.
+
+    DELIBERATE DIVERGENCE (pinned by tests/test_pipeline.py): for
+    ``list[TaggedTerm]`` inputs the reference *never* appends ``unmapped``
+    — ``t2t.py:319-323`` only tags inside the ``not isinstance(se,
+    OntologyTermCollector)``/plain-list branch, so TaggedTerm rows fall
+    through the guard untagged (a reference bug SURVEY.md U4 documents).
+    Here every unmapped, non-ignored mention gets the tag regardless of
+    input shape: tagged terms flow through the same mention relation as
+    every other source, and silently untagged unmapped rows would be
+    indistinguishable from mapped ones downstream."""
     mapped_terms = mappings.select("source_term").distinct()
     unmapped = mentions.join(mapped_terms, "source_term", "left_anti").select(
         "source_term_id",

@@ -184,6 +184,12 @@ def ivf_cosine_topk(
         .limit(sample_size)
         .collect()
     ]
+    if not sample:
+        # empty corpus: no lists to train — short-circuit instead of letting
+        # numpy raise an opaque shape error downstream (r2 ADVICE)
+        raise ValueError(
+            "ivf_cosine_topk: embeddings corpus is empty — nothing to index"
+        )
     n_lists = min(n_lists, len(sample))
     centroids = _train_centroids(sample, n_lists, kmeans_iters)
 
@@ -197,7 +203,9 @@ def ivf_cosine_topk(
     def probe_lists(vec: pd.Series) -> pd.Series:
         x = np.asarray(list(vec), dtype=np.float64)
         x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
-        order = np.argsort(-(x @ centroids.T), axis=1)[:, :n_probe]
+        # stable sort: equal dots keep ascending list_id, matching the
+        # DuckDB oracle's ORDER BY dot DESC, list_id ASC tie rule
+        order = np.argsort(-(x @ centroids.T), axis=1, kind="stable")[:, :n_probe]
         return pd.Series(list(order.astype("int32")))
 
     corpus = embeddings.select(

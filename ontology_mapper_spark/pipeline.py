@@ -27,6 +27,25 @@ from ontology_mapper_spark.sources import terms as term_src
 from ontology_mapper_spark.sources.ontology import filter_terms_df, onto_labels_df
 
 
+# Most-recent persisted mention relation per SparkSession (keyed by id).
+# map_terms_df caches mentions for its multi-pass plan; without a hook,
+# repeated calls in one session would accumulate cached partitions forever
+# (r2 VERDICT #5). Each new call releases the previous call's cache, and
+# release_pipeline_cache() frees the last one when the caller is done.
+_ACTIVE_MENTIONS: dict[int, DataFrame] = {}
+
+
+def release_pipeline_cache(spark: SparkSession | None = None) -> None:
+    """Unpersist mention relations cached by ``map_terms_df`` — call after
+    the final action on a pipeline's output (or let the next
+    ``map_terms_df`` call in the same session reclaim it automatically)."""
+    keys = [
+        k for k in list(_ACTIVE_MENTIONS) if spark is None or k == id(spark)
+    ]
+    for k in keys:
+        _ACTIVE_MENTIONS.pop(k).unpersist()
+
+
 def _label_count(labels: DataFrame) -> int:
     """Dimension-side cardinality used only for the prefilter dispatch —
     the label table is broadcast-sized by design, so this count is a
@@ -70,9 +89,16 @@ def map_terms_df(
     # stages — re-running them per pass both doubles work and oversubscribes
     # CPUs with chained Python workers; measured 3-4x at local[32]).
     # MEMORY_AND_DISK: spills instead of recomputing at 100 TB partitions.
+    # The previous call's cache (if any) is released here so sequential
+    # pipeline runs hold at most one cached mention relation.
     from pyspark import StorageLevel
 
+    sess = mentions.sparkSession
+    prev = _ACTIVE_MENTIONS.pop(id(sess), None)
+    if prev is not None:
+        prev.unpersist()
     mentions = mentions.persist(StorageLevel.MEMORY_AND_DISK)
+    _ACTIVE_MENTIONS[id(sess)] = mentions
 
     to_map = post.filter_ignored(mentions)
     if cfg.mapper == Mapper.TFIDF:

@@ -1,10 +1,14 @@
-"""OWL (RDF/XML) ontology scan — SURVEY.md §2 S3/S4/J5, without owlready2.
+"""OWL ontology scan (RDF/XML + Turtle/NTriples) — SURVEY.md §2 S3/S4/J5,
+without owlready2.
 
 The reference parses OWL through owlready2's sqlite quadstore
-(``term_collector.py:335-363``) and extracts per-term fields
-(``term_collector.py:23-333``). This engine keeps the parse driver-side
-(ontologies are dimension data) but uses a dependency-free RDF/XML subset
-parser covering what the reference actually reads:
+(``term_collector.py:335-363``, accepting RDF/XML, OWL/XML and NTriples)
+and extracts per-term fields (``term_collector.py:23-333``). This engine
+keeps the parse driver-side (ontologies are dimension data) but uses
+dependency-free parsers — an RDF/XML subset DOM walk here, and a Turtle/
+NTriples reader (``sources/turtle.py``, format-sniffed per file so a mixed
+.ttl/.owl imports closure works) — covering what the reference actually
+reads:
 
 - ``owl:Class`` / property declarations (Object/Datatype/Annotation
   property -> term_type 'property'; reference ``term_collector.py:392-406``)
@@ -258,8 +262,14 @@ def parse_owl(path: str, follow_imports: bool = True) -> list[dict]:
         if p in visited:
             continue
         visited.add(p)
-        root = ET.parse(p).getroot()
-        for imp_iri in process_root(root):
+        if _is_turtle(p):
+            # Turtle/NTriples serialization (r2 VERDICT #7 — owlready2
+            # accepts these in the reference, term_collector.py:343-346);
+            # same assembly semantics, triple-based instead of DOM-based
+            imports = _process_ttl(p, get_term, instances_of, instance_labels)
+        else:
+            imports = process_root(ET.parse(p).getroot())
+        for imp_iri in imports:
             if not follow_imports:
                 continue
             resolved = _resolve_import(imp_iri, os.path.dirname(p))
@@ -284,6 +294,198 @@ def parse_owl(path: str, follow_imports: bool = True) -> list[dict]:
                 for i in insts:
                     t["instances"][i] = instance_labels.get(i) or _frag(i)
     return list(terms.values())
+
+
+def _is_turtle(path: str) -> bool:
+    """Format sniff: extension first, then content (a Turtle file starts
+    with a directive, a triple, or comments — never an XML declaration)."""
+    lower = path.lower()
+    if lower.endswith((".ttl", ".turtle", ".nt", ".n3")):
+        return True
+    if lower.endswith((".owl", ".rdf", ".xml")):
+        return False
+    try:
+        with open(path, encoding="utf-8", errors="replace") as f:
+            head = f.read(2048).lstrip()
+    except OSError:
+        return False
+    return head.startswith(("@prefix", "@base", "PREFIX", "BASE")) or (
+        not head.startswith("<?xml") and not head.startswith("<rdf")
+        and ("@prefix" in head or head.startswith("<http"))
+    )
+
+
+def _process_ttl(path, get_term, instances_of, instance_labels) -> list[str]:
+    """Assemble onto_terms rows from one Turtle file's triples — the
+    triple-based mirror of ``process_root``'s DOM walk (same property
+    subset, same semantics; identical rows for the same ontology, pinned by
+    the .ttl round-trip test)."""
+    from ontology_mapper_spark.sources.turtle import RDF_TYPE, read_turtle
+
+    spo = read_turtle(path)
+    imports: list[str] = []
+
+    def of_kind(po, pred, kind):
+        return [o[1] for o in po.get(pred, []) if o[0] == kind]
+
+    def add_restriction_b(b, term):
+        po = spo.get(b, {})
+        on = of_kind(po, OWL + "onProperty", "iri")
+        filler = of_kind(po, OWL + "someValuesFrom", "iri")
+        if on and filler:
+            term["restrictions"][on[0]] = filler[0]
+
+    def parse_intersection_b(b, term):
+        po = spo.get(b, {})
+        for lst in po.get(OWL + "intersectionOf", []):
+            if lst[0] != "list":
+                continue
+            for member in lst[1]:
+                if member[0] == "iri" and member[1] != OWL_THING:
+                    term["parents"][member[1]] = ""
+                elif member[0] == "bnode":
+                    add_restriction_b(member[1], term)
+
+    def handle_parent_obj(obj, term):
+        if obj[0] == "iri":
+            if obj[1] != OWL_THING:
+                term["parents"][obj[1]] = ""
+        elif obj[0] == "bnode":
+            bpo = spo.get(obj[1], {})
+            btypes = of_kind(bpo, RDF_TYPE, "iri")
+            if OWL + "Restriction" in btypes:
+                add_restriction_b(obj[1], term)
+            else:
+                parse_intersection_b(obj[1], term)
+
+    prop_types = {
+        OWL + "ObjectProperty",
+        OWL + "DatatypeProperty",
+        OWL + "AnnotationProperty",
+    }
+    label_preds = {RDFS + "label", SKOS + "prefLabel"}
+    syn_preds = {
+        OBOINOWL + "hasExactSynonym",
+        NCIT + "P90",
+        EFO_NS + "alternative_term",
+    }
+    def_preds = {SKOS + "definition", IAO_DEF}
+
+    for s, po in spo.items():
+        types = of_kind(po, RDF_TYPE, "iri")
+        if OWL + "Ontology" in types:
+            imports.extend(of_kind(po, OWL + "imports", "iri"))
+            continue
+        if s.startswith("_:"):
+            continue
+        if OWL + "NamedIndividual" in types:
+            label = ""
+            for lp in (RDFS + "label", SKOS + "prefLabel"):
+                ls = of_kind(po, lp, "lit")
+                if ls:
+                    label = ls[0].strip()
+                    break
+            for t_iri in types:
+                if t_iri != OWL + "NamedIndividual":
+                    instances_of.setdefault(t_iri, []).append(s)
+            instance_labels[s] = label
+            continue
+        if OWL + "Class" in types:
+            term = get_term(s, OntologyTermType.CLASS)
+        elif prop_types & set(types):
+            term = get_term(s, OntologyTermType.PROPERTY)
+        else:
+            continue
+        # annotation properties, in first-occurrence predicate order (the
+        # triple map preserves document order) — mirrors parse_common
+        for pred, objs in po.items():
+            if pred in label_preds:
+                for v in (o[1].strip() for o in objs if o[0] == "lit"):
+                    if v and v not in term["labels"]:
+                        term["labels"].append(v)
+            elif pred in syn_preds:
+                for v in (o[1].strip() for o in objs if o[0] == "lit"):
+                    if v and v not in term["synonyms"]:
+                        term["synonyms"].append(v)
+            elif pred in def_preds:
+                for v in (o[1].strip() for o in objs if o[0] == "lit"):
+                    if v and v not in term["definitions"]:
+                        term["definitions"].append(v)
+            elif pred == OWL + "deprecated":
+                if any(
+                    o[0] == "lit" and o[1].strip().lower() == "true"
+                    for o in objs
+                ):
+                    term["deprecated"] = True
+        for pred in (RDFS + "subClassOf", RDFS + "subPropertyOf"):
+            for obj in po.get(pred, []):
+                handle_parent_obj(obj, term)
+        # equivalentClass expressions: restrictions and intersection
+        # conjuncts surface as parents/restrictions; plain named
+        # equivalents are skipped (same rule as parse_parents)
+        for obj in po.get(OWL + "equivalentClass", []):
+            if obj[0] == "bnode":
+                handle_parent_obj(obj, term)
+    return imports
+
+
+def write_ttl(rows: list[dict], path: str, ontology_iri: str = "") -> None:
+    """Serialize onto_terms rows as Turtle — the .ttl twin of ``write_owl``
+    (same subset; ``parse_owl`` reads both back to identical rows)."""
+
+    def q(s: str) -> str:
+        return '"' + s.replace("\\", "\\\\").replace('"', '\\"') + '"'
+
+    out = [
+        "@prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .",
+        f"@prefix rdfs: <{RDFS}> .",
+        f"@prefix owl: <{OWL}> .",
+        f"@prefix skos: <{SKOS}> .",
+        f"@prefix oboInOwl: <{OBOINOWL}> .",
+        "",
+    ]
+    if ontology_iri:
+        out.append(f"<{ontology_iri}> a owl:Ontology .")
+        out.append("")
+    instance_rows = []
+    for r in rows:
+        kind = (
+            "owl:Class"
+            if r["term_type"] == OntologyTermType.CLASS
+            else "owl:ObjectProperty"
+        )
+        lines = [f"<{r['iri']}> a {kind}"]
+        for i, lbl in enumerate(r["labels"]):
+            prop = "rdfs:label" if i == 0 else "skos:prefLabel"
+            lines.append(f"    {prop} {q(lbl)}")
+        for syn in r["synonyms"]:
+            lines.append(f"    oboInOwl:hasExactSynonym {q(syn)}")
+        for d in r["definitions"]:
+            lines.append(f"    skos:definition {q(d)}")
+        sub = (
+            "rdfs:subClassOf"
+            if r["term_type"] == OntologyTermType.CLASS
+            else "rdfs:subPropertyOf"
+        )
+        for p in r["parents"]:
+            lines.append(f"    {sub} <{p}>")
+        for prop, filler in r.get("restrictions", {}).items():
+            lines.append(
+                f"    {sub} [ a owl:Restriction ; owl:onProperty <{prop}> ; "
+                f"owl:someValuesFrom <{filler}> ]"
+            )
+        if r["deprecated"]:
+            lines.append("    owl:deprecated true")
+        out.append(" ;\n".join(lines) + " .")
+        for inst_iri, inst_label in r.get("instances", {}).items():
+            instance_rows.append((inst_iri, inst_label, r["iri"]))
+    for inst_iri, inst_label, cls_iri in instance_rows:
+        lines = [f"<{inst_iri}> a owl:NamedIndividual, <{cls_iri}>"]
+        if inst_label:
+            lines.append(f"    rdfs:label {q(inst_label)}")
+        out.append(" ;\n".join(lines) + " .")
+    with open(path, "w", encoding="utf-8") as f:
+        f.write("\n".join(out) + "\n")
 
 
 def write_owl(rows: list[dict], path: str, ontology_iri: str = "") -> None:

@@ -97,8 +97,15 @@ def first_seen_urls(pages_stream: DataFrame) -> DataFrame:
         first = None
         for pdf in pdfs:
             captures += len(pdf)
-            if not emitted and first is None and len(pdf):
-                first = pdf.sort_values("warc_ts").iloc[[0]]
+            if not emitted and len(pdf):
+                # a url group can span multiple Arrow chunks in one batch
+                # and a LATER chunk may hold an earlier capture — keep the
+                # min-warc_ts row across all chunks (r2 ADVICE)
+                head = pdf.sort_values("warc_ts").iloc[[0]]
+                if first is None or (
+                    head["warc_ts"].iloc[0] < first["warc_ts"].iloc[0]
+                ):
+                    first = head
         state.update((1 if (emitted or first is not None) else 0, captures))
         if not emitted and first is not None:
             yield first[["url", "warc_ts", "lang"]]

@@ -18,11 +18,10 @@ def test_oracle_keys_subset_of_queries():
     q = set(entrymod.queries())
     o = set(entrymod.oracle_sql())
     assert o <= q, f"oracle without query: {o - q}"
-    # the single remaining engine-only entry: IVF's driver-side k-means is
-    # not SQL-expressible (recall-vs-exact guarantee in
-    # tests/test_training_ops.py); LSH ANN is deterministic and fully
-    # oracle-checked
-    assert q - o == {"ivf_ann_topk"}
+    # every query now has an oracle: ivf_ann_topk graduated in round 3
+    # (deterministic trained centroids inlined as VALUES, same pattern as
+    # lsh_ann_topk) — no rows-only entries remain
+    assert q == o, f"query without oracle: {q - o}"
 
 
 @pytest.mark.spark

@@ -47,6 +47,100 @@ def test_owl_round_trip(owl_file):
     assert n_class == 25 and n_prop == 6 and len(parsed) == 31
 
 
+def test_ttl_round_trip_identical_to_rdfxml(owl_file, tmp_path):
+    """r2 VERDICT #7: a Turtle serialization of the same ontology yields
+    IDENTICAL onto_terms rows to the RDF/XML one — full dict equality,
+    including parent/child label resolution, restrictions, instances."""
+    from ontology_mapper_spark.sources.owl import write_ttl
+
+    ttl = str(tmp_path / "fixture.ttl")
+    write_ttl(fixture_ontology_rows(), ttl, "http://example.org/fixture")
+    via_xml = {r["iri"]: r for r in parse_owl(owl_file)}
+    via_ttl = {r["iri"]: r for r in parse_owl(ttl)}
+    assert via_ttl == via_xml
+    assert len(via_ttl) == 31
+
+
+def test_ttl_real_world_shapes(tmp_path):
+    """Turtle grammar features real exporters emit: prefixed names, 'a',
+    object lists, blank-node restrictions, intersectionOf collections,
+    lang-tagged + datatyped literals, comments, equivalentClass bnodes."""
+    ttl = tmp_path / "mini.ttl"
+    ttl.write_text("""\
+@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
+@prefix owl: <http://www.w3.org/2002/07/owl#> .
+@prefix obo: <http://purl.obolibrary.org/obo/> .
+@prefix oboInOwl: <http://www.geneontology.org/formats/oboInOwl#> .
+@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+
+# a defined class with an intersection definition
+obo:EX_1 a owl:Class ;
+    rdfs:label "asthma"@en ;
+    oboInOwl:hasExactSynonym "bronchial hyperreactivity", "chronic asthma" ;
+    owl:equivalentClass [ a owl:Class ;
+        owl:intersectionOf ( obo:EX_2
+            [ a owl:Restriction ;
+              owl:onProperty obo:RO_1 ;
+              owl:someValuesFrom obo:EX_3 ] ) ] .
+
+obo:EX_2 a owl:Class ; rdfs:label "disease" ;
+    rdfs:subClassOf owl:Thing .
+obo:EX_3 a owl:Class ; rdfs:label "lung" .
+obo:EX_4 a owl:Class ; rdfs:label "old disease" ;
+    rdfs:subClassOf obo:EX_2 ;
+    owl:deprecated "true"^^xsd:boolean .
+obo:RO_1 a owl:ObjectProperty ; rdfs:label "located in" .
+""")
+    rows = {r["iri"]: r for r in parse_owl(str(ttl))}
+    obo = "http://purl.obolibrary.org/obo/"
+    assert rows[obo + "EX_1"]["labels"] == ["asthma"]
+    assert rows[obo + "EX_1"]["synonyms"] == [
+        "bronchial hyperreactivity", "chronic asthma"
+    ]
+    # intersection conjuncts: named -> parent, restriction -> restriction
+    assert rows[obo + "EX_1"]["parents"] == {obo + "EX_2": "disease"}
+    assert rows[obo + "EX_1"]["restrictions"] == {obo + "RO_1": obo + "EX_3"}
+    # owl:Thing is never a parent
+    assert rows[obo + "EX_2"]["parents"] == {}
+    assert rows[obo + "EX_4"]["deprecated"] is True
+    assert rows[obo + "RO_1"]["term_type"] == "property"
+    # children derived as inverse of parents, labels resolved
+    assert rows[obo + "EX_2"]["children"] == {
+        obo + "EX_1": "asthma", obo + "EX_4": "old disease"
+    }
+
+
+def test_ttl_imports_closure(tmp_path):
+    """owl:imports from a Turtle file resolves local targets — including a
+    mixed-format closure (.ttl importing .owl)."""
+    from ontology_mapper_spark.sources.owl import write_owl as _write_owl
+
+    imported = str(tmp_path / "imported.owl")
+    _write_owl(
+        [{
+            "iri": "http://example.org/dep#X", "labels": ["dep x"],
+            "synonyms": [], "definitions": [], "parents": {}, "children": {},
+            "instances": {}, "restrictions": {}, "deprecated": False,
+            "term_type": "class",
+        }],
+        imported,
+        "http://example.org/imported",
+    )
+    main = tmp_path / "main.ttl"
+    main.write_text("""\
+@prefix owl: <http://www.w3.org/2002/07/owl#> .
+@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
+<http://example.org/main> a owl:Ontology ;
+    owl:imports <imported.owl> ,
+        <http://example.org/ontologies/unreachable.owl> .
+<http://example.org/main#A> a owl:Class ; rdfs:label "a term" .
+""")
+    rows = {r["iri"]: r for r in parse_owl(str(main))}
+    assert set(rows) == {"http://example.org/main#A", "http://example.org/dep#X"}
+    solo = parse_owl(str(main), follow_imports=False)
+    assert [r["iri"] for r in solo] == ["http://example.org/main#A"]
+
+
 _MAIN_OWL = """<?xml version="1.0"?>
 <rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
          xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#"

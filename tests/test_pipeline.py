@@ -71,6 +71,24 @@ def test_tags_and_ignore(spark, onto):
 
 
 @pytest.mark.spark
+def test_tagged_input_unmapped_divergence_pinned(spark, onto):
+    """DELIBERATE DIVERGENCE from t2t.py:319-323 (r2 VERDICT #6): the
+    reference never appends 'unmapped' to list[TaggedTerm] inputs — its tag
+    guard only runs on the plain-list branch, so TaggedTerm unmapped rows
+    fall through silently untagged (a reference bug SURVEY.md U4 records).
+    This engine tags every unmapped, non-ignored mention the same way
+    regardless of input shape; pin that here so the divergence is a
+    documented choice, not drift."""
+    tagged = {"asthma": "disease", "xqzwkv": "custom"}  # xqzwkv won't map
+    cfg = MappingConfig(incl_unmapped=True)
+    rows = map_terms(spark, tagged, onto, cfg).collect()
+    unmapped = [r for r in rows if r["source_term"] == "xqzwkv"]
+    assert len(unmapped) == 1
+    # reference would yield tags == "custom"; we deliberately append
+    assert unmapped[0]["tags"] == "custom,unmapped"
+
+
+@pytest.mark.spark
 def test_unmapped_tag_all_unmapped(spark, onto):
     # simple_tests.py:225-235 — all-unmapped input still yields rows
     cfg = MappingConfig(incl_unmapped=True, min_score=0.99)
@@ -229,3 +247,25 @@ def test_map_terms_accepts_file_paths(spark, tmp_path):
                   csv_columns=("term", "term_id"), separator="\t")
     rows = b.collect()
     assert rows and all(r["source_term_id"] == "ID1" for r in rows)
+
+
+@pytest.mark.spark
+def test_sequential_runs_do_not_accumulate_cache(spark, onto):
+    """r2 VERDICT #5: map_terms_df persists the mention relation; repeated
+    calls in one session must not accumulate cached partitions. Each call
+    reclaims the previous call's cache, and release_pipeline_cache() frees
+    the last one."""
+    from ontology_mapper_spark.pipeline import release_pipeline_cache
+
+    def n_cached():
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    release_pipeline_cache(spark)
+    base = n_cached()
+    for _ in range(3):
+        map_terms(spark, ["asthma", "acute bronchitis"], onto,
+                  MappingConfig(max_mappings=1)).collect()
+    # at most ONE mention relation cached, however many runs happened
+    assert n_cached() <= base + 1
+    release_pipeline_cache(spark)
+    assert n_cached() == base

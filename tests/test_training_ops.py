@@ -181,15 +181,30 @@ def test_cosine_neardup_exact_and_lsh_recall(spark):
 def test_ngram_jaccard_bucket_guard(spark, docs):
     """max_bucket makes the verification-only contract executable: a hot
     shingle bucket raises at action time instead of fanning out."""
-    # guard off / above the hottest bucket: identical results
+    # guard off / above the hottest bucket: identical results (the default
+    # 10k cap is far above any fixture bucket, so it behaves like None here)
     base = {(r["doc_a"], r["doc_b"]) for r in
-            dd.ngram_jaccard_pairs(docs, threshold=0.2).collect()}
+            dd.ngram_jaccard_pairs(docs, threshold=0.2, max_bucket=None).collect()}
     ok = {(r["doc_a"], r["doc_b"]) for r in
           dd.ngram_jaccard_pairs(docs, threshold=0.2, max_bucket=100).collect()}
-    assert ok == base and base
+    default = {(r["doc_a"], r["doc_b"]) for r in
+               dd.ngram_jaccard_pairs(docs, threshold=0.2).collect()}
+    assert ok == base == default and base
     # the shared shingle bucket across 4 near-identical docs exceeds cap 2
     with pytest.raises(Exception, match="max_bucket"):
         dd.ngram_jaccard_pairs(docs, threshold=0.2, max_bucket=2).collect()
+
+
+@pytest.mark.spark
+def test_ngram_jaccard_guard_default_on(spark):
+    """The quadratic blow-up path raises BY DEFAULT (r2 VERDICT #9): >10k
+    docs sharing one shingle trips the cap without any caller opt-in."""
+    hot = spark.range(10_500).select(
+        F.col("id").alias("doc_id"),
+        F.lit("same same same same").alias("text"),
+    )
+    with pytest.raises(Exception, match="max_bucket"):
+        dd.ngram_jaccard_pairs(hot, threshold=0.9).collect()
 
 
 @pytest.mark.spark
@@ -243,3 +258,62 @@ def test_multimodal_resize_plumbing(spark):
         assert r["resized_sha"] == h.sha256(payload).hexdigest()
     with pytest.raises(Exception, match="NotImplementedError|resize"):
         resize_images(media, strict=True).collect()
+
+
+@pytest.mark.spark
+def test_multimodal_codec_injection(spark):
+    """r2 VERDICT #10: the codec is injectable like the API transports — a
+    caller-supplied callable runs inside the Arrow kernel and fully
+    replaces the stub (strict mode included)."""
+    import struct
+
+    # toy wire format: 4-byte BE width, 4-byte BE height, then pixel bytes
+    def toy_decode(data: bytes):
+        w, h = struct.unpack(">II", data[:8])
+        px = data[8:8 + 4]
+        return w, h, [b / 255.0 for b in px]
+
+    def toy_resize(data: bytes, tw: int, th: int) -> bytes:
+        return struct.pack(">II", tw, th) + data[8:]
+
+    payload = struct.pack(">II", 640, 480) + bytes(range(16))
+    media = spark.createDataFrame(
+        [("m1", bytearray(payload))], "media_id string, content binary"
+    )
+    row = decode_image_features(media, codec=toy_decode, strict=True).collect()[0]
+    assert (row["width"], row["height"]) == (640, 480)
+    assert row["feature"] == [pytest.approx(b / 255.0) for b in range(4)]
+
+    from ontology_mapper_spark.operators.multimodal import resize_images
+
+    r = resize_images(media, target_w=32, target_h=16, codec=toy_resize,
+                      strict=True).collect()[0]
+    assert bytes(r["resized"])[:8] == struct.pack(">II", 32, 16)
+    assert bytes(r["resized"])[8:] == payload[8:]
+
+
+@pytest.mark.spark
+def test_multimodal_pillow_parity(spark):
+    """Real-codec parity (skipped where Pillow is absent, as here): the
+    injected Pillow codec must report true dimensions through the same
+    distributed plumbing the stub uses."""
+    PIL = pytest.importorskip("PIL")  # noqa: F841
+    from io import BytesIO
+
+    from PIL import Image
+
+    from ontology_mapper_spark.operators.multimodal import pillow_codecs
+
+    buf = BytesIO()
+    Image.new("RGB", (40, 30), (255, 0, 0)).save(buf, format="PNG")
+    media = spark.createDataFrame(
+        [("img1", bytearray(buf.getvalue()))],
+        "media_id string, content binary",
+    )
+    decode, resize = pillow_codecs()
+    row = decode_image_features(media, codec=decode).collect()[0]
+    assert (row["width"], row["height"]) == (40, 30)
+    from ontology_mapper_spark.operators.multimodal import resize_images
+
+    r = resize_images(media, target_w=8, target_h=8, codec=resize).collect()[0]
+    assert Image.open(BytesIO(bytes(r["resized"]))).size == (8, 8)

@@ -1,8 +1,17 @@
 """Local replica of the driver's correctness gate: runs every queries()
 entry on Spark and its oracle_sql() on DuckDB over the same sf dir, then
 compares row count, schema (column names), and values (columns sorted by
-name, rows sorted, exact match; floats compared bitwise with a reported
-max-abs-diff fallback).
+name, rows sorted).
+
+The value compare is DTYPE-STRICT, matching the driver's value hash: an
+int64 675 on the Spark side and a float64 675.0 on the DuckDB side (e.g.
+from DuckDB's sum(BIGINT) -> HUGEINT -> pandas float64 widening) is a
+FAILURE here, exactly as it is in CORRECTNESS_r*.json.  Round 2 shipped
+with a checker that coerced both sides to float64 before comparing, which
+masked precisely that bug class (r2 VERDICT #2) — do not reintroduce the
+coercion.  Cells are compared via their canonical string form (shortest
+repr for floats), so bit-identical doubles match and any dtype or value
+drift fails.
 
 Usage: python tools/check_entry.py [sf_dir] [query ...]
 """
@@ -28,6 +37,31 @@ TABLES = [
 ]
 
 
+def _dtype_kind(dt) -> str:
+    """Collapse a pandas dtype to the kind class the driver's hash is
+    sensitive to: int-vs-float-vs-bool-vs-other."""
+    k = getattr(dt, "kind", "O")
+    if k in ("i", "u"):
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "b":
+        return "bool"
+    if k == "M":
+        return "datetime"
+    return "obj"
+
+
+def _cell_str(v) -> str:
+    """Canonical string form of one cell — shortest repr for floats so
+    bit-identical doubles compare equal, plain str otherwise."""
+    if isinstance(v, (float, np.floating)):
+        return repr(float(v))
+    if isinstance(v, (np.integer,)):
+        return str(int(v))
+    return str(v)
+
+
 def _canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
@@ -49,29 +83,34 @@ def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[st
     if len(a) != len(b):
         return problems
     for c in a.columns:
-        av, bv = a[c].to_numpy(), b[c].to_numpy()
-        if np.issubdtype(av.dtype, np.floating) or np.issubdtype(
-            bv.dtype, np.floating
-        ):
-            av = av.astype(np.float64)
-            bv = bv.astype(np.float64)
-            if not np.array_equal(av, bv, equal_nan=True):
-                d = np.nanmax(np.abs(av - bv)) if len(av) else 0
-                problems.append(f"col {c}: float mismatch (max abs diff {d:.3e})")
-        else:
-            if not (av.astype(str) == bv.astype(str)).all():
-                n_bad = int((av.astype(str) != bv.astype(str)).sum())
-                i = int(np.argmax(av.astype(str) != bv.astype(str)))
-                problems.append(
-                    f"col {c}: {n_bad} mismatches, first at row {i}: "
-                    f"{av[i]!r} vs {bv[i]!r}"
-                )
+        ka, kb = _dtype_kind(a[c].dtype), _dtype_kind(b[c].dtype)
+        if ka != kb:
+            # the driver's value hash sees 675 vs 675.0 as different cells;
+            # coercing here is what let the r2 HUGEINT bug ship (VERDICT #2)
+            problems.append(
+                f"col {c}: dtype mismatch {a[c].dtype} (spark) vs "
+                f"{b[c].dtype} (oracle) — driver hash would differ even if "
+                f"values agree"
+            )
+            continue
+        av = np.array([_cell_str(v) for v in a[c]], dtype=object)
+        bv = np.array([_cell_str(v) for v in b[c]], dtype=object)
+        if not (av == bv).all():
+            n_bad = int((av != bv).sum())
+            i = int(np.argmax(av != bv))
+            problems.append(
+                f"col {c}: {n_bad} mismatches, first at row {i}: "
+                f"{av[i]!r} vs {bv[i]!r}"
+            )
     return problems
 
 
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    # data-dependent oracles (ivf_ann_topk trains its centroids from the
+    # embeddings table) must read the same sf dir the Spark side reads
+    os.environ["ONTOMAP_ORACLE_SF_DIR"] = sf_dir
     spark = get_spark("check-entry", cores=8, shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
