@@ -48,12 +48,15 @@ def cache_ontology(
     ontology_path: str,
     ontology_acronym: str = "",
     cache_root: str = "cache",
+    use_reasoning: bool = False,
 ) -> "OntologyCache":
     """S6 — parse an OWL file and persist the full (term_type=any,
     unfiltered) table, like reference ``cache_ontology`` (``t2t.py:118-129``).
-    """
+    ``use_reasoning``: classify before caching (the collector-level knob,
+    ``term_collector.py:20``) so the cached hierarchy includes inferred
+    edges."""
     acronym = ontology_acronym or os.path.basename(ontology_path)
-    rows = parse_owl(ontology_path)
+    rows = parse_owl(ontology_path, use_reasoning=use_reasoning)
     if not rows:
         raise RuntimeError("Could not find any terms in the given ontology.")
     terms = onto_terms_from_rows(spark, rows)

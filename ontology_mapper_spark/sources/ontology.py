@@ -209,6 +209,9 @@ def onto_terms_from_rows(spark: SparkSession, rows: list[dict]) -> DataFrame:
     for r in rows:
         r = dict(r)
         r["children"] = children.get(r["iri"], {})
+        # parser-internal field (equivalence definitions for the optional
+        # classifier) — not part of the onto_terms relation
+        r.pop("equiv", None)
         out.append(r)
     assert len(by_iri) == len(rows), "duplicate IRIs in ontology rows"
     return spark.createDataFrame(out, schema=ONTO_TERMS_SCHEMA)

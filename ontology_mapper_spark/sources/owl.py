@@ -90,7 +90,9 @@ def _resolve_import(iri: str, base_dir: str) -> str | None:
     return candidate if os.path.exists(candidate) else None
 
 
-def parse_owl(path: str, follow_imports: bool = True) -> list[dict]:
+def parse_owl(
+    path: str, follow_imports: bool = True, use_reasoning: bool = False
+) -> list[dict]:
     """Parse an RDF/XML OWL file into onto_terms-shaped rows (see
     ``ontology.ONTO_TERMS_SCHEMA``).
 
@@ -99,7 +101,14 @@ def parse_owl(path: str, follow_imports: bool = True) -> list[dict]:
     classes and properties (``term_collector.py:53-60``); imports that
     cannot be resolved to a local file are skipped (offline engine).
     Label fallback and parent/child resolution run once over the merged
-    term set, so cross-file subclass edges resolve labels correctly."""
+    term set, so cross-file subclass edges resolve labels correctly.
+
+    ``use_reasoning``: run the bounded structural classifier
+    (``sources/reasoning.py``) before relation resolution — the engine's
+    equivalent of the reference collector's ``use_reasoning=True`` HermiT
+    classification (``term_collector.py:20,352-363``), covering the EL-ish
+    definitional-axiom subset; see that module's docstring for the honest
+    scope statement."""
     import os
 
     about_attr = f"{{{RDF}}}about"
@@ -123,23 +132,39 @@ def parse_owl(path: str, follow_imports: bool = True) -> list[dict]:
                 "restrictions": {},
                 "deprecated": False,
                 "term_type": term_type,
+                # equivalence definitions, kept separately for the optional
+                # structural classifier (sources/reasoning.py); stripped
+                # before onto_terms_from_rows
+                "equiv": [],
             }
             terms[iri] = t
         return t
 
-    def add_restriction(restriction: ET.Element, term: dict) -> None:
+    def _restriction_of(restriction: ET.Element) -> tuple[str, str] | None:
         on_prop = restriction.find(f"{{{OWL}}}onProperty")
         filler = restriction.find(f"{{{OWL}}}someValuesFrom")
         if on_prop is not None and filler is not None:
             p = on_prop.get(resource_attr)
             f = filler.get(resource_attr)
             if p and f:
-                term["restrictions"][p] = f
+                return (p, f)
+        return None
 
-    def parse_intersection(cls: ET.Element, term: dict) -> None:
+    def add_restriction(restriction: ET.Element, term: dict,
+                        defn: dict | None = None) -> None:
+        r = _restriction_of(restriction)
+        if r is not None:
+            term["restrictions"][r[0]] = r[1]
+            if defn is not None:
+                defn["restrictions"][r[0]] = r[1]
+
+    def parse_intersection(cls: ET.Element, term: dict,
+                           defn: dict | None = None) -> None:
         """owl:intersectionOf conjuncts: named classes -> parents,
         restriction conjuncts -> restrictions (reference ``_get_parents``
-        handling of ``And`` expressions, ``term_collector.py:104-110``)."""
+        handling of ``And`` expressions, ``term_collector.py:104-110``).
+        ``defn``: when given, conjuncts are additionally recorded as one
+        equivalence definition for the classifier."""
         inter = cls.find(f"{{{OWL}}}intersectionOf")
         if inter is None:
             return
@@ -147,12 +172,16 @@ def parse_owl(path: str, follow_imports: bool = True) -> list[dict]:
             res2 = member.get(about_attr) or member.get(resource_attr)
             if res2 and res2 != OWL_THING:
                 term["parents"][res2] = ""
+                if defn is not None:
+                    defn["named"].append(res2)
         for member in inter.findall(f"{{{RDF}}}Description"):
             res2 = member.get(about_attr)
             if res2 and res2 != OWL_THING:
                 term["parents"][res2] = ""
+                if defn is not None:
+                    defn["named"].append(res2)
         for member in inter.findall(f"{{{OWL}}}Restriction"):
-            add_restriction(member, term)
+            add_restriction(member, term, defn)
 
     def parse_parents(node: ET.Element, term: dict) -> None:
         for sub in list(node.findall(f"{{{RDFS}}}subClassOf")) + list(
@@ -174,10 +203,18 @@ def parse_owl(path: str, follow_imports: bool = True) -> list[dict]:
         # (``term_collector.py:93-132``). A plain named equivalent (rdf:
         # resource, no expression) is NOT a parent and is skipped.
         for eq in node.findall(f"{{{OWL}}}equivalentClass"):
+            defn = {"named": [], "restrictions": {}}
             for restriction in eq.findall(f"{{{OWL}}}Restriction"):
-                add_restriction(restriction, term)
+                add_restriction(restriction, term, defn)
             for cls in eq.findall(f"{{{OWL}}}Class"):
-                parse_intersection(cls, term)
+                parse_intersection(cls, term, defn)
+            named_eq = eq.get(resource_attr)
+            if named_eq and named_eq != OWL_THING:
+                # plain named equivalent: not a told parent (see above),
+                # but a definition the classifier uses for A ≡ B
+                defn["named"].append(named_eq)
+            if defn["named"] or defn["restrictions"]:
+                term["equiv"].append(defn)
 
     def parse_common(node: ET.Element, term: dict) -> None:
         for child in node:
@@ -277,6 +314,11 @@ def parse_owl(path: str, follow_imports: bool = True) -> list[dict]:
                 queue.append(os.path.abspath(resolved))
             # unresolvable (remote) import: skipped — offline engine
 
+    if use_reasoning:
+        from ontology_mapper_spark.sources.reasoning import classify_terms
+
+        classify_terms(terms)
+
     # label fallback + relation label resolution (reference onto_utils.py:65-69)
     for t in terms.values():
         if not t["labels"]:
@@ -328,14 +370,16 @@ def _process_ttl(path, get_term, instances_of, instance_labels) -> list[str]:
     def of_kind(po, pred, kind):
         return [o[1] for o in po.get(pred, []) if o[0] == kind]
 
-    def add_restriction_b(b, term):
+    def add_restriction_b(b, term, defn=None):
         po = spo.get(b, {})
         on = of_kind(po, OWL + "onProperty", "iri")
         filler = of_kind(po, OWL + "someValuesFrom", "iri")
         if on and filler:
             term["restrictions"][on[0]] = filler[0]
+            if defn is not None:
+                defn["restrictions"][on[0]] = filler[0]
 
-    def parse_intersection_b(b, term):
+    def parse_intersection_b(b, term, defn=None):
         po = spo.get(b, {})
         for lst in po.get(OWL + "intersectionOf", []):
             if lst[0] != "list":
@@ -343,10 +387,12 @@ def _process_ttl(path, get_term, instances_of, instance_labels) -> list[str]:
             for member in lst[1]:
                 if member[0] == "iri" and member[1] != OWL_THING:
                     term["parents"][member[1]] = ""
+                    if defn is not None:
+                        defn["named"].append(member[1])
                 elif member[0] == "bnode":
-                    add_restriction_b(member[1], term)
+                    add_restriction_b(member[1], term, defn)
 
-    def handle_parent_obj(obj, term):
+    def handle_parent_obj(obj, term, defn=None):
         if obj[0] == "iri":
             if obj[1] != OWL_THING:
                 term["parents"][obj[1]] = ""
@@ -354,9 +400,9 @@ def _process_ttl(path, get_term, instances_of, instance_labels) -> list[str]:
             bpo = spo.get(obj[1], {})
             btypes = of_kind(bpo, RDF_TYPE, "iri")
             if OWL + "Restriction" in btypes:
-                add_restriction_b(obj[1], term)
+                add_restriction_b(obj[1], term, defn)
             else:
-                parse_intersection_b(obj[1], term)
+                parse_intersection_b(obj[1], term, defn)
 
     prop_types = {
         OWL + "ObjectProperty",
@@ -422,10 +468,16 @@ def _process_ttl(path, get_term, instances_of, instance_labels) -> list[str]:
                 handle_parent_obj(obj, term)
         # equivalentClass expressions: restrictions and intersection
         # conjuncts surface as parents/restrictions; plain named
-        # equivalents are skipped (same rule as parse_parents)
+        # equivalents are skipped as parents (same rule as parse_parents)
+        # but recorded as definitions for the classifier
         for obj in po.get(OWL + "equivalentClass", []):
+            defn = {"named": [], "restrictions": {}}
             if obj[0] == "bnode":
-                handle_parent_obj(obj, term)
+                handle_parent_obj(obj, term, defn)
+            elif obj[0] == "iri" and obj[1] != OWL_THING:
+                defn["named"].append(obj[1])
+            if defn["named"] or defn["restrictions"]:
+                term["equiv"].append(defn)
     return imports
 
 
