@@ -5,10 +5,10 @@ The reference parses OWL through owlready2's sqlite quadstore
 (``term_collector.py:335-363``, accepting RDF/XML, OWL/XML and NTriples)
 and extracts per-term fields (``term_collector.py:23-333``). This engine
 keeps the parse driver-side (ontologies are dimension data) but uses
-dependency-free parsers — an RDF/XML subset DOM walk here, and a Turtle/
-NTriples reader (``sources/turtle.py``, format-sniffed per file so a mixed
-.ttl/.owl imports closure works) — covering what the reference actually
-reads:
+dependency-free parsers — an RDF/XML subset DOM walk, an OWL/XML
+(functional-style XML) walk, and a Turtle/NTriples reader
+(``sources/turtle.py``) — format-sniffed per file so a mixed-serialization
+imports closure works, covering what the reference actually reads:
 
 - ``owl:Class`` / property declarations (Object/Datatype/Annotation
   property -> term_type 'property'; reference ``term_collector.py:392-406``)
@@ -305,7 +305,15 @@ def parse_owl(
             # same assembly semantics, triple-based instead of DOM-based
             imports = _process_ttl(p, get_term, instances_of, instance_labels)
         else:
-            imports = process_root(ET.parse(p).getroot())
+            root = ET.parse(p).getroot()
+            if root.tag == f"{{{OWL}}}Ontology":
+                # OWL/XML (functional-style XML, root owl:Ontology) — the
+                # third serialization owlready2 tolerates
+                imports = _process_owlxml(
+                    root, terms, get_term, instances_of, instance_labels
+                )
+            else:
+                imports = process_root(root)
         for imp_iri in imports:
             if not follow_imports:
                 continue
@@ -478,6 +486,178 @@ def _process_ttl(path, get_term, instances_of, instance_labels) -> list[str]:
                 defn["named"].append(obj[1])
             if defn["named"] or defn["restrictions"]:
                 term["equiv"].append(defn)
+    return imports
+
+
+def _process_owlxml(
+    root, terms, get_term, instances_of, instance_labels
+) -> list[str]:
+    """Assemble onto_terms rows from an OWL/XML (functional-style XML)
+    document — the third serialization owlready2 tolerates
+    (``term_collector.py:343-346``). Covers the axiom subset the other two
+    parsers read: declarations, SubClassOf (named / someValuesFrom /
+    intersection superclasses), EquivalentClasses (same told-parent rules
+    as ``parse_parents``), property hierarchies, annotation assertions
+    (labels / synonyms / definitions / deprecated), class assertions,
+    imports."""
+    O = "{" + OWL + "}"
+    onto_iri = (root.get("ontologyIRI") or "").rstrip("#/")
+    prefixes: dict[str, str] = {}
+    for pre in root.findall(f"{O}Prefix"):
+        prefixes[pre.get("name") or ""] = pre.get("IRI") or ""
+
+    def resolve(el) -> str | None:
+        """IRI of an entity element (Class/ObjectProperty/... with IRI= or
+        abbreviatedIRI=), or of an <IRI>/<AbbreviatedIRI> subject node."""
+        if el is None:
+            return None
+        if el.tag in (f"{O}IRI", f"{O}AbbreviatedIRI"):
+            raw = (el.text or "").strip()
+            if el.tag == f"{O}AbbreviatedIRI":
+                pfx, local = raw.split(":", 1)
+                return prefixes.get(pfx, "") + local
+            return onto_iri + raw if raw.startswith("#") else raw
+        iri = el.get("IRI")
+        if iri is not None:
+            return onto_iri + iri if iri.startswith("#") else iri
+        abbr = el.get("abbreviatedIRI")
+        if abbr is not None:
+            pfx, local = abbr.split(":", 1)
+            return prefixes.get(pfx, "") + local
+        return None
+
+    _ANN_LABELS = {RDFS + "label", SKOS + "prefLabel"}
+    _ANN_SYNS = {
+        OBOINOWL + "hasExactSynonym", NCIT + "P90", EFO_NS + "alternative_term"
+    }
+    _ANN_DEFS = {SKOS + "definition", IAO_DEF}
+    prop_decls = (f"{O}ObjectProperty", f"{O}DataProperty",
+                  f"{O}AnnotationProperty")
+    individuals: set[str] = set()
+    imports: list[str] = []
+
+    def some_values(expr) -> tuple[str, str] | None:
+        if expr.tag != f"{O}ObjectSomeValuesFrom":
+            return None
+        kids = list(expr)
+        if len(kids) == 2:
+            p, f = resolve(kids[0]), resolve(kids[1])
+            if p and f:
+                return (p, f)
+        return None
+
+    def apply_superclass(expr, term, defn=None) -> None:
+        if expr.tag == f"{O}Class":
+            iri2 = resolve(expr)
+            if iri2 and iri2 != OWL_THING:
+                term["parents"][iri2] = ""
+                if defn is not None:
+                    defn["named"].append(iri2)
+        elif expr.tag == f"{O}ObjectIntersectionOf":
+            for member in expr:
+                apply_superclass(member, term, defn)
+        else:
+            r = some_values(expr)
+            if r is not None:
+                term["restrictions"][r[0]] = r[1]
+                if defn is not None:
+                    defn["restrictions"][r[0]] = r[1]
+
+    # pass 1: declarations (so annotation subjects resolve to the right
+    # term type even when axioms precede/follow declarations)
+    for decl in root.findall(f"{O}Declaration"):
+        for ent in decl:
+            iri = resolve(ent)
+            if not iri:
+                continue
+            if ent.tag == f"{O}Class":
+                get_term(iri, OntologyTermType.CLASS)
+            elif ent.tag in prop_decls:
+                get_term(iri, OntologyTermType.PROPERTY)
+            elif ent.tag == f"{O}NamedIndividual":
+                individuals.add(iri)
+                instance_labels.setdefault(iri, "")
+
+    term_for = get_term  # get_term memoizes in the shared registry
+
+    for node in root:
+        tag = node.tag
+        if tag == f"{O}Import":
+            iri = (node.text or "").strip()
+            if iri:
+                imports.append(iri)
+        elif tag == f"{O}SubClassOf":
+            kids = list(node)
+            if len(kids) == 2 and kids[0].tag == f"{O}Class":
+                sub = resolve(kids[0])
+                if sub:
+                    apply_superclass(kids[1],
+                                     term_for(sub, OntologyTermType.CLASS))
+        elif tag == f"{O}EquivalentClasses":
+            kids = list(node)
+            for i, k in enumerate(kids):
+                if k.tag != f"{O}Class":
+                    continue
+                sub = resolve(k)
+                if not sub:
+                    continue
+                term = term_for(sub, OntologyTermType.CLASS)
+                defn = {"named": [], "restrictions": {}}
+                for j, other in enumerate(kids):
+                    if j == i:
+                        continue
+                    if other.tag == f"{O}Class":
+                        # plain named equivalent: definition only, not a
+                        # told parent (same rule as parse_parents)
+                        iri2 = resolve(other)
+                        if iri2 and iri2 != OWL_THING:
+                            defn["named"].append(iri2)
+                    else:
+                        apply_superclass(other, term, defn)
+                if defn["named"] or defn["restrictions"]:
+                    term["equiv"].append(defn)
+        elif tag in (f"{O}SubObjectPropertyOf", f"{O}SubDataPropertyOf",
+                     f"{O}SubAnnotationPropertyOf"):
+            kids = list(node)
+            if len(kids) == 2:
+                sub, sup = resolve(kids[0]), resolve(kids[1])
+                if sub and sup:
+                    term_for(sub, OntologyTermType.PROPERTY)["parents"][sup] = ""
+        elif tag == f"{O}ClassAssertion":
+            kids = list(node)
+            if len(kids) == 2:
+                cls, inst = resolve(kids[0]), resolve(kids[1])
+                if cls and inst:
+                    individuals.add(inst)
+                    instance_labels.setdefault(inst, "")
+                    instances_of.setdefault(cls, []).append(inst)
+        elif tag == f"{O}AnnotationAssertion":
+            kids = list(node)
+            if len(kids) != 3:
+                continue
+            prop = resolve(kids[0])
+            subj = resolve(kids[1])
+            lit = (kids[2].text or "").strip() \
+                if kids[2].tag == f"{O}Literal" else ""
+            if not prop or not subj or not lit:
+                continue
+            if subj in individuals:
+                if prop in _ANN_LABELS and not instance_labels.get(subj):
+                    instance_labels[subj] = lit
+                continue
+            if subj not in terms:
+                # undeclared subject (e.g. an ontology-level annotation):
+                # do not spawn a phantom class term for it
+                continue
+            term = terms[subj]
+            if prop in _ANN_LABELS and lit not in term["labels"]:
+                term["labels"].append(lit)
+            elif prop in _ANN_SYNS and lit not in term["synonyms"]:
+                term["synonyms"].append(lit)
+            elif prop in _ANN_DEFS and lit not in term["definitions"]:
+                term["definitions"].append(lit)
+            elif prop == OWL + "deprecated" and lit.lower() == "true":
+                term["deprecated"] = True
     return imports
 
 

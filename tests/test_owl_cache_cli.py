@@ -352,3 +352,103 @@ def test_cli_end_to_end(owl_file, tmp_path):
     assert body[0].startswith("Source Term ID,Source Term,Mapped Term Label")
     assert any("asthma" in l for l in body[1:])
     assert any("unmapped" in l for l in body[1:])  # mojito row via -u
+
+
+def test_owlxml_serialization(tmp_path):
+    """OWL/XML (functional-style XML, root owl:Ontology) — the third
+    owlready2-tolerated serialization: declarations, annotation assertions,
+    subclass/intersection/restriction axioms, class assertions, and the
+    same rows as the equivalent Turtle."""
+    owlxml = tmp_path / "mini.owx"
+    owlxml.write_text("""<?xml version="1.0"?>
+<Ontology xmlns="http://www.w3.org/2002/07/owl#"
+          ontologyIRI="http://example.org/mini">
+  <Prefix name="rdfs" IRI="http://www.w3.org/2000/01/rdf-schema#"/>
+  <Prefix name="oio" IRI="http://www.geneontology.org/formats/oboInOwl#"/>
+  <Prefix name="owl" IRI="http://www.w3.org/2002/07/owl#"/>
+  <Declaration><Class IRI="#Disease"/></Declaration>
+  <Declaration><Class IRI="#Asthma"/></Declaration>
+  <Declaration><Class IRI="#Old"/></Declaration>
+  <Declaration><ObjectProperty IRI="#locatedIn"/></Declaration>
+  <Declaration><NamedIndividual IRI="#case1"/></Declaration>
+  <AnnotationAssertion>
+    <AnnotationProperty abbreviatedIRI="rdfs:label"/>
+    <IRI>#Disease</IRI><Literal>disease</Literal>
+  </AnnotationAssertion>
+  <AnnotationAssertion>
+    <AnnotationProperty abbreviatedIRI="rdfs:label"/>
+    <IRI>#Asthma</IRI><Literal xml:lang="en">asthma</Literal>
+  </AnnotationAssertion>
+  <AnnotationAssertion>
+    <AnnotationProperty abbreviatedIRI="oio:hasExactSynonym"/>
+    <IRI>#Asthma</IRI><Literal>bronchial hyperreactivity</Literal>
+  </AnnotationAssertion>
+  <AnnotationAssertion>
+    <AnnotationProperty abbreviatedIRI="owl:deprecated"/>
+    <IRI>#Old</IRI><Literal>true</Literal>
+  </AnnotationAssertion>
+  <AnnotationAssertion>
+    <AnnotationProperty abbreviatedIRI="rdfs:label"/>
+    <IRI>#case1</IRI><Literal>case one</Literal>
+  </AnnotationAssertion>
+  <SubClassOf><Class IRI="#Asthma"/><Class IRI="#Disease"/></SubClassOf>
+  <SubClassOf>
+    <Class IRI="#Asthma"/>
+    <ObjectSomeValuesFrom>
+      <ObjectProperty IRI="#locatedIn"/><Class IRI="#Disease"/>
+    </ObjectSomeValuesFrom>
+  </SubClassOf>
+  <ClassAssertion><Class IRI="#Asthma"/><NamedIndividual IRI="#case1"/></ClassAssertion>
+</Ontology>""")
+    rows = {r["iri"]: r for r in parse_owl(str(owlxml))}
+    ex = "http://example.org/mini#"
+    assert set(rows) == {ex + "Disease", ex + "Asthma", ex + "Old",
+                         ex + "locatedIn"}
+    a = rows[ex + "Asthma"]
+    assert a["labels"] == ["asthma"]
+    assert a["synonyms"] == ["bronchial hyperreactivity"]
+    assert a["parents"] == {ex + "Disease": "disease"}
+    assert a["restrictions"] == {ex + "locatedIn": ex + "Disease"}
+    assert a["instances"] == {ex + "case1": "case one"}
+    assert rows[ex + "Old"]["deprecated"] is True
+    assert rows[ex + "locatedIn"]["term_type"] == "property"
+    assert rows[ex + "Disease"]["children"] == {ex + "Asthma": "asthma"}
+
+
+def test_owlxml_equivalence_reasoning(tmp_path):
+    """EquivalentClasses in OWL/XML feeds the classifier the same way the
+    other serializations do."""
+    owlxml = tmp_path / "defined.owx"
+    owlxml.write_text("""<?xml version="1.0"?>
+<Ontology xmlns="http://www.w3.org/2002/07/owl#"
+          ontologyIRI="http://example.org/d">
+  <Declaration><Class IRI="#Disease"/></Declaration>
+  <Declaration><Class IRI="#Lung"/></Declaration>
+  <Declaration><Class IRI="#LungDisease"/></Declaration>
+  <Declaration><Class IRI="#X"/></Declaration>
+  <Declaration><ObjectProperty IRI="#locatedIn"/></Declaration>
+  <EquivalentClasses>
+    <Class IRI="#LungDisease"/>
+    <ObjectIntersectionOf>
+      <Class IRI="#Disease"/>
+      <ObjectSomeValuesFrom>
+        <ObjectProperty IRI="#locatedIn"/><Class IRI="#Lung"/>
+      </ObjectSomeValuesFrom>
+    </ObjectIntersectionOf>
+  </EquivalentClasses>
+  <SubClassOf><Class IRI="#X"/><Class IRI="#Disease"/></SubClassOf>
+  <SubClassOf>
+    <Class IRI="#X"/>
+    <ObjectSomeValuesFrom>
+      <ObjectProperty IRI="#locatedIn"/><Class IRI="#Lung"/>
+    </ObjectSomeValuesFrom>
+  </SubClassOf>
+</Ontology>""")
+    ex = "http://example.org/d#"
+    asserted = {r["iri"]: r for r in parse_owl(str(owlxml))}
+    # equivalent-intersection conjuncts are told parents (parse_parents rule)
+    assert ex + "Disease" in asserted[ex + "LungDisease"]["parents"]
+    assert ex + "LungDisease" not in asserted[ex + "X"]["parents"]
+    inferred = {r["iri"]: r
+                for r in parse_owl(str(owlxml), use_reasoning=True)}
+    assert ex + "LungDisease" in inferred[ex + "X"]["parents"]
