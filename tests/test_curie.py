@@ -109,6 +109,22 @@ def test_curie_registry_snapshot_breadth(spark):
         # generic identifiers.org fallback
         ("http://identifiers.org/reactome/R-HSA-109582", "REACTOME:R-HSA-109582"),
         ("https://identifiers.org/doid/DOID-14330", "DOID:DOID-14330"),
+        # round-3 widening rows
+        ("http://ncicb.nci.nih.gov/xml/owl/EVS/Thesaurus.owl#C2985",
+         "NCIT:C2985"),
+        ("https://omim.org/entry/125853", "OMIM:125853"),
+        ("http://purl.bioontology.org/ontology/SNOMEDCT_US/44054006",
+         "SNOMEDCT:44054006"),
+        ("http://purl.bioontology.org/ontology/ATC/A10BA02", "ATC:A10BA02"),
+        ("http://purl.bioontology.org/ontology/ICD11/1217574507",
+         "ICD11:1217574507"),
+        ("https://loinc.org/2345-7", "LOINC:2345-7"),
+        ("https://www.ncbi.nlm.nih.gov/snp/rs7903146", "DBSNP:RS7903146"),
+        ("https://pubmed.ncbi.nlm.nih.gov/31363929", "PUBMED:31363929"),
+        ("https://www.ncbi.nlm.nih.gov/Taxonomy/Browser/wwwtax.cgi?id=9606",
+         "NCBITAXON:9606"),
+        ("https://www.orpha.net/ORDO/Orphanet_586", "ORPHANET:586"),
+        ("https://snomed.info/id/44054006", "SNOMEDCT:44054006"),
         # still unresolvable -> "" like the reference failure path
         ("http://example.org/not-a-registry/XYZ_1", ""),
     ]
