@@ -72,10 +72,16 @@ def ngram_jaccard_pairs(
     ~5x10^7 candidate pairs from one shingle); pass ``max_bucket=None`` as
     the explicit escape hatch for exact unguarded semantics (r2 VERDICT
     #9 flipped this from opt-in to default-on)."""
+    # join on the 64-bit shingle hash, not the string: the self-join's
+    # shuffle keys drop from ~k-word strings to 8 bytes (measured 13.4 s ->
+    # 9.3 s at sf0.1 / local[32]). Jaccard depends only on key EQUALITY, so
+    # counts are unchanged up to 64-bit collisions (~n_distinct^2 / 2^65 —
+    # negligible at any bucket size the guard admits), and the DuckDB
+    # oracle, which joins on the strings themselves, stays hash-exact.
     sh = docs.select(
         F.col(id_col).alias("doc"),
         F.explode(word_shingles(F.col(text_col), k)).alias("shingle"),
-    )
+    ).select("doc", F.xxhash64("shingle").alias("shingle"))
     if max_bucket is not None:
         # 1-row lazy aggregate (hottest bucket size) cross-joined as a
         # broadcast; raise_error fires at action time if it exceeds the cap
