@@ -753,7 +753,9 @@ def _ivf_oracle_sql(
     cent_vals = []
     for j in range(n_lists):
         for d in range(centroids.shape[1]):
-            cent_vals.append(f"({j}, {d}, {centroids[j, d]!r})")
+            # float(): numpy>=2 reprs scalars as 'np.float64(x)', which is
+            # not SQL; builtin-float repr is the shortest exact round-trip
+            cent_vals.append(f"({j}, {d}, {float(centroids[j, d])!r})")
     return (
         "WITH centd(list_id, d, c) AS (\n  SELECT * FROM (VALUES\n    "
         + ",\n    ".join(cent_vals)
@@ -1142,7 +1144,13 @@ SELECT query_id, vec_id, round(cosine, 6) AS cosine, rk FROM fin"""
     # ivf_ann_topk: same graduation pattern as lsh_ann_topk — deterministic
     # trained centroids inlined as VALUES, assignment/probe/re-rank
     # re-derived in SQL (r2 VERDICT #4: was the last "no_oracle" row).
-    o["ivf_ann_topk"] = _ivf_oracle_sql(k=5, n_lists=16, n_probe=4)
+    # This oracle is data-dependent (reads the embeddings parquet to train
+    # the centroids), so a checkout without the testdata degrades to a
+    # rows-only check for this ONE entry instead of failing every oracle.
+    try:
+        o["ivf_ann_topk"] = _ivf_oracle_sql(k=5, n_lists=16, n_probe=4)
+    except (FileNotFoundError, OSError):
+        pass
 
     o["embedding_neardup"] = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)

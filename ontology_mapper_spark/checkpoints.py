@@ -129,6 +129,22 @@ class CheckpointedRun:
         ``bucket=N`` directory (verifiable via ``DataFrame.inputFiles``) —
         no repeated full-table scans. ``prepare_fn`` (whole-corpus fit)
         reads the full table once, partition-pruned reads do the rest."""
+        # guard BEFORE any lineage write: a wrong/missing input_path must
+        # crash, not record every bucket complete-with-zero-rows — that
+        # would poison the lineage and make every later resume a silent
+        # no-op (r3 review finding)
+        if not self._dir_exists(input_path):
+            raise FileNotFoundError(
+                f"run_bucketed: input_path does not exist: {input_path}"
+            )
+        if not any(
+            self._dir_exists(os.path.join(input_path, f"bucket={b}"))
+            for b in range(self.n_buckets)
+        ):
+            raise FileNotFoundError(
+                f"run_bucketed: no bucket=N directories under {input_path} — "
+                "was it written with write_bucketed (same n_buckets)?"
+            )
         state = (
             prepare_fn(self.spark.read.parquet(input_path).drop("bucket"))
             if prepare_fn is not None

@@ -51,13 +51,28 @@ EFO_NS = "http://www.ebi.ac.uk/efo/"
 IAO_DEF = "http://purl.obolibrary.org/obo/IAO_0000115"
 OWL_THING = OWL + "Thing"
 
-_LABEL_PROPS = {f"{{{RDFS}}}label", f"{{{SKOS}}}prefLabel"}
-_SYNONYM_PROPS = {
-    f"{{{OBOINOWL}}}hasExactSynonym",
-    f"{{{NCIT}}}P90",
-    f"{{{EFO_NS}}}alternative_term",
+# single source of truth for the annotation predicates all three parsers
+# (RDF/XML, OWL/XML, Turtle) read — add a predicate HERE and every
+# serialization picks it up, keeping the identical-rows-per-format
+# invariant the round-trip tests pin
+LABEL_IRIS = {RDFS + "label", SKOS + "prefLabel"}
+SYNONYM_IRIS = {
+    OBOINOWL + "hasExactSynonym",
+    NCIT + "P90",
+    EFO_NS + "alternative_term",
 }
-_DEFINITION_PROPS = {f"{{{SKOS}}}definition", "{" + IAO_DEF.rsplit("/", 1)[0] + "/}" + "IAO_0000115"}
+DEFINITION_IRIS = {SKOS + "definition", IAO_DEF}
+
+
+def _clark(iri: str) -> str:
+    """Full IRI -> ElementTree '{ns}local' form (split at '#' or last '/')."""
+    cut = iri.rfind("#") + 1 or iri.rfind("/") + 1
+    return "{" + iri[:cut] + "}" + iri[cut:]
+
+
+_LABEL_PROPS = {_clark(i) for i in LABEL_IRIS}
+_SYNONYM_PROPS = {_clark(i) for i in SYNONYM_IRIS}
+_DEFINITION_PROPS = {_clark(i) for i in DEFINITION_IRIS}
 _PROPERTY_TAGS = {
     f"{{{OWL}}}ObjectProperty",
     f"{{{OWL}}}DatatypeProperty",
@@ -356,9 +371,15 @@ def _is_turtle(path: str) -> bool:
         return False
     try:
         with open(path, encoding="utf-8", errors="replace") as f:
-            head = f.read(2048).lstrip()
+            head = f.read(2048)
     except OSError:
         return False
+    # skip leading '#' comment lines (common in NTriples dumps) before
+    # sniffing — XML can't start with them
+    lines = [ln for ln in head.splitlines() if ln.strip()]
+    while lines and lines[0].lstrip().startswith("#"):
+        lines.pop(0)
+    head = "\n".join(lines).lstrip()
     return head.startswith(("@prefix", "@base", "PREFIX", "BASE")) or (
         not head.startswith("<?xml") and not head.startswith("<rdf")
         and ("@prefix" in head or head.startswith("<http"))
@@ -417,13 +438,9 @@ def _process_ttl(path, get_term, instances_of, instance_labels) -> list[str]:
         OWL + "DatatypeProperty",
         OWL + "AnnotationProperty",
     }
-    label_preds = {RDFS + "label", SKOS + "prefLabel"}
-    syn_preds = {
-        OBOINOWL + "hasExactSynonym",
-        NCIT + "P90",
-        EFO_NS + "alternative_term",
-    }
-    def_preds = {SKOS + "definition", IAO_DEF}
+    label_preds, syn_preds, def_preds = (
+        LABEL_IRIS, SYNONYM_IRIS, DEFINITION_IRIS
+    )
 
     for s, po in spo.items():
         types = of_kind(po, RDF_TYPE, "iri")
@@ -526,11 +543,9 @@ def _process_owlxml(
             return prefixes.get(pfx, "") + local
         return None
 
-    _ANN_LABELS = {RDFS + "label", SKOS + "prefLabel"}
-    _ANN_SYNS = {
-        OBOINOWL + "hasExactSynonym", NCIT + "P90", EFO_NS + "alternative_term"
-    }
-    _ANN_DEFS = {SKOS + "definition", IAO_DEF}
+    _ANN_LABELS, _ANN_SYNS, _ANN_DEFS = (
+        LABEL_IRIS, SYNONYM_IRIS, DEFINITION_IRIS
+    )
     prop_decls = (f"{O}ObjectProperty", f"{O}DataProperty",
                   f"{O}AnnotationProperty")
     individuals: set[str] = set()
@@ -580,6 +595,12 @@ def _process_owlxml(
 
     term_for = get_term  # get_term memoizes in the shared registry
 
+    def axiom_kids(node) -> list:
+        """Axiom operands, with <Annotation> children dropped — annotated
+        axioms (standard ROBOT/Protégé output) prepend one per annotation,
+        and counting them as operands silently discards the axiom."""
+        return [k for k in node if k.tag != f"{O}Annotation"]
+
     for node in root:
         tag = node.tag
         if tag == f"{O}Import":
@@ -587,14 +608,14 @@ def _process_owlxml(
             if iri:
                 imports.append(iri)
         elif tag == f"{O}SubClassOf":
-            kids = list(node)
+            kids = axiom_kids(node)
             if len(kids) == 2 and kids[0].tag == f"{O}Class":
                 sub = resolve(kids[0])
                 if sub:
                     apply_superclass(kids[1],
                                      term_for(sub, OntologyTermType.CLASS))
         elif tag == f"{O}EquivalentClasses":
-            kids = list(node)
+            kids = axiom_kids(node)
             for i, k in enumerate(kids):
                 if k.tag != f"{O}Class":
                     continue
@@ -618,13 +639,13 @@ def _process_owlxml(
                     term["equiv"].append(defn)
         elif tag in (f"{O}SubObjectPropertyOf", f"{O}SubDataPropertyOf",
                      f"{O}SubAnnotationPropertyOf"):
-            kids = list(node)
+            kids = axiom_kids(node)
             if len(kids) == 2:
                 sub, sup = resolve(kids[0]), resolve(kids[1])
                 if sub and sup:
                     term_for(sub, OntologyTermType.PROPERTY)["parents"][sup] = ""
         elif tag == f"{O}ClassAssertion":
-            kids = list(node)
+            kids = axiom_kids(node)
             if len(kids) == 2:
                 cls, inst = resolve(kids[0]), resolve(kids[1])
                 if cls and inst:
@@ -632,7 +653,7 @@ def _process_owlxml(
                     instance_labels.setdefault(inst, "")
                     instances_of.setdefault(cls, []).append(inst)
         elif tag == f"{O}AnnotationAssertion":
-            kids = list(node)
+            kids = axiom_kids(node)
             if len(kids) != 3:
                 continue
             prop = resolve(kids[0])
@@ -666,7 +687,15 @@ def write_ttl(rows: list[dict], path: str, ontology_iri: str = "") -> None:
     (same subset; ``parse_owl`` reads both back to identical rows)."""
 
     def q(s: str) -> str:
-        return '"' + s.replace("\\", "\\\\").replace('"', '\\"') + '"'
+        # Turtle STRING_LITERAL_QUOTE forbids raw LF/CR; escape control
+        # whitespace too so other parsers (rdflib/ROBOT) accept the output
+        return '"' + (
+            s.replace("\\", "\\\\")
+            .replace('"', '\\"')
+            .replace("\n", "\\n")
+            .replace("\r", "\\r")
+            .replace("\t", "\\t")
+        ) + '"'
 
     out = [
         "@prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .",

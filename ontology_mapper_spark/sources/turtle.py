@@ -105,9 +105,14 @@ def _tokenize(text: str) -> list[tuple[str, str]]:
             toks.append(("lit", val))
             continue
         if c in _PUNCT:
-            toks.append(("punct", c))
-            i += 1
-            continue
+            if c == "." and i + 1 < n and text[i + 1].isdigit():
+                # leading-dot decimal literal ('.5') — fall through to the
+                # name tokenizer rather than emitting statement-final punct
+                pass
+            else:
+                toks.append(("punct", c))
+                i += 1
+                continue
         if c == "@":
             j = i + 1
             while j < n and text[j].isalpha():
@@ -181,7 +186,14 @@ class _Parser:
             ):
                 self._directive()
             else:
+                was_bnode_list = self._peek() == ("punct", "[")
                 s = self._subject()
+                # Turtle allows a standalone blankNodePropertyList statement
+                # '[ ... ] .' with no further predicates — OWLAPI/ROBOT emit
+                # one per annotated axiom, so real exports hit this a lot
+                if was_bnode_list and self._peek() == ("punct", "."):
+                    self._next()
+                    continue
                 self._predicate_object_list(s)
                 self._expect("punct", ".")
         return self.spo
@@ -254,7 +266,7 @@ class _Parser:
                 return ("lit", w)
             if w.startswith("_:"):
                 return ("bnode", w)
-            if w[0].isdigit() or (w[0] in "+-" and len(w) > 1):
+            if w[0].isdigit() or w[0] == "." or (w[0] in "+-" and len(w) > 1):
                 return ("lit", w)  # numeric literal, kept as text
             return ("iri", self._resolve(w))
         if t == ("punct", "["):

@@ -67,3 +67,20 @@ def test_run_bucketed_renamed_bucket_column_roundtrips(spark, tmp_path):
     vals = {r["data_bucket"] for r in got.collect()}
     assert vals == {10}
     assert got.count() == 20
+
+
+def test_run_bucketed_wrong_input_path_raises(spark, tmp_path):
+    """A missing/mistyped input_path must crash BEFORE any lineage write —
+    r3 review finding: recording all buckets complete-with-zero-rows would
+    make every later resume a silent no-op."""
+    run = CheckpointedRun(spark, str(tmp_path / "out"), n_buckets=4)
+    with pytest.raises(FileNotFoundError, match="input_path does not exist"):
+        run.run_bucketed(str(tmp_path / "nope"), lambda df: df)
+    # no lineage written
+    assert run.completed_buckets() == set()
+    # an existing dir with no bucket=N layout is also rejected
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    with pytest.raises(FileNotFoundError, match="no bucket=N"):
+        run.run_bucketed(str(empty), lambda df: df)
+    assert run.completed_buckets() == set()

@@ -452,3 +452,100 @@ def test_owlxml_equivalence_reasoning(tmp_path):
     inferred = {r["iri"]: r
                 for r in parse_owl(str(owlxml), use_reasoning=True)}
     assert ex + "LungDisease" in inferred[ex + "X"]["parents"]
+
+
+def test_ttl_annotated_axiom_statements(tmp_path):
+    """OWLAPI/ROBOT emit one standalone '[ ... ] .' blank-node statement
+    per annotated axiom, plus leading-dot decimals and comment headers —
+    none of these may abort the parse (r3 review findings)."""
+    ttl = tmp_path / "annotated.ttl"
+    ttl.write_text("""\
+# exported by robot -- comment header
+@prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .
+@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
+@prefix owl: <http://www.w3.org/2002/07/owl#> .
+@prefix oboInOwl: <http://www.geneontology.org/formats/oboInOwl#> .
+@prefix ex: <http://example.org/ex#> .
+
+ex:A a owl:Class ; rdfs:label "a term" ; rdfs:subClassOf ex:B ;
+    ex:confidence .5 .
+ex:B a owl:Class ; rdfs:label "b term" .
+
+[ rdf:type owl:Axiom ;
+  owl:annotatedSource ex:A ;
+  owl:annotatedProperty rdfs:subClassOf ;
+  owl:annotatedTarget ex:B ;
+  oboInOwl:hasDbXref "UMLS:C0004096" ] .
+""")
+    rows = {r["iri"]: r for r in parse_owl(str(ttl))}
+    ex = "http://example.org/ex#"
+    assert set(rows) == {ex + "A", ex + "B"}
+    assert rows[ex + "A"]["parents"] == {ex + "B": "b term"}
+
+
+def test_owlxml_annotated_axioms_kept(tmp_path):
+    """<Annotation> children inside OWL/XML axioms must not make the axiom
+    miscount its operands and get dropped (r3 review finding)."""
+    owlxml = tmp_path / "annotated.owx"
+    owlxml.write_text("""<?xml version="1.0"?>
+<Ontology xmlns="http://www.w3.org/2002/07/owl#"
+          ontologyIRI="http://example.org/a">
+  <Prefix name="rdfs" IRI="http://www.w3.org/2000/01/rdf-schema#"/>
+  <Prefix name="oio" IRI="http://www.geneontology.org/formats/oboInOwl#"/>
+  <Declaration><Class IRI="#Asthma"/></Declaration>
+  <Declaration><Class IRI="#Disease"/></Declaration>
+  <SubClassOf>
+    <Annotation>
+      <AnnotationProperty abbreviatedIRI="oio:hasDbXref"/>
+      <Literal>UMLS:C0004096</Literal>
+    </Annotation>
+    <Class IRI="#Asthma"/><Class IRI="#Disease"/>
+  </SubClassOf>
+  <AnnotationAssertion>
+    <Annotation>
+      <AnnotationProperty abbreviatedIRI="oio:hasDbXref"/>
+      <Literal>src</Literal>
+    </Annotation>
+    <AnnotationProperty abbreviatedIRI="rdfs:label"/>
+    <IRI>#Asthma</IRI><Literal>asthma</Literal>
+  </AnnotationAssertion>
+</Ontology>""")
+    rows = {r["iri"]: r for r in parse_owl(str(owlxml))}
+    ex = "http://example.org/a#"
+    assert rows[ex + "Asthma"]["parents"] == {ex + "Disease": "Disease"}
+    assert rows[ex + "Asthma"]["labels"] == ["asthma"]
+
+
+def test_write_ttl_escapes_control_whitespace(tmp_path):
+    """Multi-line definitions serialize as escaped \\n, not raw LF (invalid
+    Turtle); round-trips through our parser with the value intact."""
+    from ontology_mapper_spark.sources.owl import write_ttl
+
+    row = {
+        "iri": "http://example.org/x#T", "labels": ["t"],
+        "synonyms": [], "definitions": ["line one\nline two\ttabbed"],
+        "parents": {}, "children": {}, "instances": {}, "restrictions": {},
+        "deprecated": False, "term_type": "class",
+    }
+    p = str(tmp_path / "esc.ttl")
+    write_ttl([row], p)
+    text = open(p).read()
+    # no literal spans two physical lines
+    for line in text.splitlines():
+        assert line.count('"') % 2 == 0, line
+    back = parse_owl(p)
+    assert back[0]["definitions"] == ["line one\nline two\ttabbed"]
+
+
+def test_extensionless_ntriples_with_comment_header(tmp_path):
+    """An extensionless NTriples dump starting with '#' comments must sniff
+    as Turtle, not fall into ElementTree (r3 review finding)."""
+    p = tmp_path / "dump"
+    p.write_text("""\
+# generated by some exporter
+<http://example.org/n#A> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://www.w3.org/2002/07/owl#Class> .
+<http://example.org/n#A> <http://www.w3.org/2000/01/rdf-schema#label> "a term" .
+""")
+    rows = parse_owl(str(p))
+    assert rows[0]["iri"] == "http://example.org/n#A"
+    assert rows[0]["labels"] == ["a term"]
