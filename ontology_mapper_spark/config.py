@@ -96,6 +96,16 @@ class MappingConfig:
     prefilter_min_labels: int = 1000
     prefilter_ntop: int = 100  # candidates kept per mention by the prefilter
     prefilter_min_score: float = 0.05  # TF-IDF floor for prefilter candidates
+    dedup_scoring: bool | None = None  # TF-IDF broadcast plan: score each
+    # DISTINCT mention string once and broadcast-join candidates back,
+    # instead of scoring per partition with a per-partition memo. None =
+    # caller decides (map_terms_df keeps the zero-shuffle per-partition
+    # plan; construct_kg enables it — web corpora repeat the same surface
+    # strings constantly, and per-partition memoization still re-scores
+    # every hot string once per partition, a 1000x redundancy on a 1000-
+    # executor cluster). Requires the distinct-candidates relation to be
+    # broadcastable (distinct mentions x max_mappings rows); disable for
+    # corpora with near-unique mention text.
     shuffle_partitions: int | None = None
     # Web-API mappers (S11/S12): the HTTP boundary is an injected picklable
     # transport(url, params, headers) -> parsed JSON (operators.api_mappers);

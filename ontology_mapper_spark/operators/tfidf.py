@@ -287,8 +287,67 @@ def tfidf_map_broadcast(
                 }
             )
 
-    return mentions.select("source_term_id", "source_term").mapInPandas(
-        score_batches, schema=CANDIDATE_SCHEMA
+    if not cfg.dedup_scoring:
+        # zero-shuffle per-partition plan (per-partition memo dedupes hot
+        # strings within a partition; pinned exchange-free by test_plans)
+        return mentions.select("source_term_id", "source_term").mapInPandas(
+            score_batches, schema=CANDIDATE_SCHEMA
+        )
+
+    # dedup-scoring plan: score each DISTINCT mention string exactly once
+    # cluster-wide, then broadcast-join the candidate table back onto the
+    # mention relation. High-duplication corpora (web text: the same
+    # surface strings recur across billions of pages) pay one small
+    # distinct shuffle instead of re-scoring every hot string once per
+    # partition — per-partition memoization is a 1000x redundancy at 1000
+    # executors. The big mention relation itself is never shuffled: the
+    # join back is a broadcast hash join on source_term.
+    uniq_schema = T.StructType(
+        [
+            T.StructField("source_term", T.StringType()),
+            T.StructField("mapped_term_label", T.StringType()),
+            T.StructField("mapped_term_iri", T.StringType()),
+            T.StructField("mapping_score", T.DoubleType()),
+        ]
+    )
+
+    def score_unique(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tindex: _TargetIndex = b_idx.value
+        sidf = b_idf.value
+        for pdf in batches:
+            terms_out, lbl_out, iri_out, sc_out = [], [], [], []
+            for term in pdf["source_term"]:
+                for lid, score in _score_one(
+                    normalize_py(term), tindex, sidf, default_idf, local_cfg
+                ):
+                    terms_out.append(term)
+                    lbl_out.append(tindex.displays[lid])
+                    iri_out.append(tindex.iris[lid])
+                    sc_out.append(score)
+            yield pd.DataFrame(
+                {
+                    "source_term": terms_out,
+                    "mapped_term_label": lbl_out,
+                    "mapped_term_iri": iri_out,
+                    "mapping_score": sc_out,
+                }
+            )
+
+    cand_per_term = (
+        mentions.select("source_term")
+        .distinct()
+        .mapInPandas(score_unique, schema=uniq_schema)
+    )
+    return (
+        mentions.select("source_term_id", "source_term")
+        .join(F.broadcast(cand_per_term), "source_term")
+        .select(
+            "source_term_id",
+            "source_term",
+            "mapped_term_label",
+            "mapped_term_iri",
+            "mapping_score",
+        )
     )
 
 

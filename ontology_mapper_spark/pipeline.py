@@ -211,6 +211,14 @@ def construct_kg(
 
     from ontology_mapper_spark.sources.pages import detect_mentions, extract_text
 
+    import dataclasses
+
+    cfg = cfg or MappingConfig()
+    if cfg.dedup_scoring is None:
+        # web corpora repeat the same mention strings across pages by
+        # construction — score each distinct string once cluster-wide and
+        # broadcast the candidates back (see MappingConfig.dedup_scoring)
+        cfg = dataclasses.replace(cfg, dedup_scoring=True)
     if dedup_pages:
         w = Window.partitionBy("url").orderBy(F.desc("warc_ts"))
         pages = (

@@ -120,3 +120,31 @@ def test_construct_kg_skips_tags_join(spark):
     assert sorted(map(tuple, fast.collect())) == sorted(
         map(tuple, slow.collect())
     )
+
+
+@pytest.mark.spark
+def test_tfidf_dedup_scoring_equivalent_and_broadcast(spark):
+    """dedup_scoring=True (construct_kg's default for web corpora): score
+    each DISTINCT mention once, broadcast-join candidates back. Must be
+    row-identical to the per-partition plan, and the join back must be a
+    broadcast hash join (the big mention relation is never shuffled —
+    the only Exchange is the small distinct aggregate)."""
+    import dataclasses
+
+    mentions = detect_mentions(synthesize_pages(spark, 80)).select(
+        "source_term_id", "source_term"
+    )
+    labels = onto_labels_df(
+        filter_terms_df(fixture_onto_terms(spark), term_type="class")
+    )
+    base_cfg = MappingConfig(max_mappings=2)
+    plain = tfidf_map_broadcast(mentions, labels, base_cfg)
+    dedup = tfidf_map_broadcast(
+        mentions, labels, dataclasses.replace(base_cfg, dedup_scoring=True)
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, dedup.collect())
+    )
+    p = plan_str(dedup)
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
