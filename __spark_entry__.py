@@ -1149,8 +1149,15 @@ SELECT query_id, vec_id, round(cosine, 6) AS cosine, rk FROM fin"""
     # rows-only check for this ONE entry instead of failing every oracle.
     try:
         o["ivf_ann_topk"] = _ivf_oracle_sql(k=5, n_lists=16, n_probe=4)
-    except (FileNotFoundError, OSError):
-        pass
+    except FileNotFoundError as e:
+        # ONLY the missing-testdata case degrades (to rows-only, for this
+        # one entry); any other IO/parse failure must surface — silently
+        # weakening the gate would mask a broken oracle (r3 review)
+        print(
+            f"oracle_sql: skipping ivf_ann_topk oracle ({e}); "
+            "driver will record a rows-only check for it",
+            file=sys.stderr,
+        )
 
     o["embedding_neardup"] = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)

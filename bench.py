@@ -43,8 +43,6 @@ def _sf_from_dir(d: str) -> float:
 
 
 SF = _sf_from_dir(SF_DIR)
-# sized so the parallel fraction dwarfs the ~4s/job serial floor (driver
-# index build + IDF collect + scheduling): ~90 core-s of work per 160k pages
 # Sized so the parallel page-scoring work dominates the fixed per-job costs
 # (driver index build, broadcast, distinct barrier: ~2-3 s). After the
 # round-3 dedup-scoring speedup (~2.3x on this job) the old 2.4M*SF pages

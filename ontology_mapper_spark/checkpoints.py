@@ -137,13 +137,22 @@ class CheckpointedRun:
             raise FileNotFoundError(
                 f"run_bucketed: input_path does not exist: {input_path}"
             )
-        if not any(
-            self._dir_exists(os.path.join(input_path, f"bucket={b}"))
-            for b in range(self.n_buckets)
-        ):
+        present = self._list_bucket_ids(input_path)
+        if not present:
             raise FileNotFoundError(
                 f"run_bucketed: no bucket=N directories under {input_path} — "
-                "was it written with write_bucketed (same n_buckets)?"
+                "was it written with write_bucketed?"
+            )
+        # one listing catches both failure shapes: no layout at all, and an
+        # n_buckets mismatch (input written with MORE buckets than this run
+        # scans would silently drop the tail buckets forever)
+        extra = {b for b in present if b >= self.n_buckets}
+        if extra:
+            raise ValueError(
+                f"run_bucketed: input has bucket ids {sorted(extra)} beyond "
+                f"n_buckets={self.n_buckets} — it was written with a larger "
+                "n_buckets; rerun with the matching value or rewrite the "
+                "input"
             )
         state = (
             prepare_fn(self.spark.read.parquet(input_path).drop("bucket"))
@@ -154,15 +163,17 @@ class CheckpointedRun:
         for b in range(self.n_buckets):
             if b in done:
                 continue
-            bucket_path = os.path.join(input_path, f"bucket={b}")
-            if not self._dir_exists(bucket_path):
+            if b not in present:
                 # partitionBy writes no directory for empty buckets (small
                 # or skewed key spaces hit this routinely) — record the
                 # bucket as complete-with-zero-rows instead of crashing the
-                # restart loop with PATH_NOT_FOUND (r2 ADVICE)
+                # restart loop with PATH_NOT_FOUND (r2 ADVICE); membership
+                # comes from the single upfront listing, no per-bucket RPC
                 self._record_lineage(b, rows_in=0, rows_out=0, wall_sec=0.0)
                 continue
-            subset = self.spark.read.parquet(bucket_path)
+            subset = self.spark.read.parquet(
+                os.path.join(input_path, f"bucket={b}")
+            )
             self._run_bucket(b, subset, build_fn, state, score_col)
         return self._read_output()
 
@@ -174,6 +185,21 @@ class CheckpointedRun:
         hpath = jvm.org.apache.hadoop.fs.Path(path)
         fs = hpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
         return bool(fs.exists(hpath))
+
+    def _list_bucket_ids(self, path: str) -> set[int]:
+        """bucket ids present under ``path`` (one FS listing, any scheme)."""
+        jvm = self.spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        ids: set[int] = set()
+        for status in fs.listStatus(hpath):
+            name = status.getPath().getName()
+            if status.isDirectory() and name.startswith("bucket="):
+                try:
+                    ids.add(int(name.split("=", 1)[1]))
+                except ValueError:
+                    pass
+        return ids
 
     def _read_output(self) -> DataFrame:
         """All buckets' output; the bucket=N layout is an on-disk detail, so

@@ -30,6 +30,7 @@ from collections.abc import Callable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from ontology_mapper_spark.config import MappingConfig
 from ontology_mapper_spark.operators.tfidf import CANDIDATE_SCHEMA
@@ -74,6 +75,43 @@ def _call(
 def _remove_quotes(s: str) -> str:
     """Reference ``onto_utils.remove_quotes``."""
     return s.replace('"', "")
+
+
+def _apply_kernel(mentions: DataFrame, kernel, dedup: bool) -> DataFrame:
+    """Run an annotator kernel over the mention relation.
+
+    ``dedup=True`` (the default for API mappers): call the remote service
+    once per DISTINCT mention string cluster-wide, then join candidates
+    back onto the mentions. The kernels' per-partition memo only dedupes
+    WITHIN a partition — on N partitions every hot string still costs N
+    HTTP calls, which is pure waste against a rate-limited service. The
+    join back is left to AQE (broadcast when the candidate table is small,
+    shuffle join when it is not)."""
+    if not dedup:
+        return mentions.select("source_term_id", "source_term").mapInPandas(
+            kernel, schema=CANDIDATE_SCHEMA
+        )
+    uniq = (
+        mentions.select("source_term")
+        .distinct()
+        .select(
+            F.col("source_term").alias("source_term_id"), "source_term"
+        )
+    )
+    cand = uniq.mapInPandas(kernel, schema=CANDIDATE_SCHEMA).drop(
+        "source_term_id"
+    )
+    return (
+        mentions.select("source_term_id", "source_term")
+        .join(cand, "source_term")
+        .select(
+            "source_term_id",
+            "source_term",
+            "mapped_term_label",
+            "mapped_term_iri",
+            "mapping_score",
+        )
+    )
 
 
 def zooma_map(
@@ -137,9 +175,7 @@ def zooma_map(
                 }
             )
 
-    return mentions.select("source_term_id", "source_term").mapInPandas(
-        kernel, schema=CANDIDATE_SCHEMA
-    )
+    return _apply_kernel(mentions, kernel, dedup=cfg.dedup_scoring is not False)
 
 
 def bioportal_map(
@@ -216,6 +252,4 @@ def bioportal_map(
                 }
             )
 
-    return mentions.select("source_term_id", "source_term").mapInPandas(
-        kernel, schema=CANDIDATE_SCHEMA
-    )
+    return _apply_kernel(mentions, kernel, dedup=cfg.dedup_scoring is not False)

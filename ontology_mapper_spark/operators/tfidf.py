@@ -295,23 +295,22 @@ def tfidf_map_broadcast(
         )
 
     # dedup-scoring plan: score each DISTINCT mention string exactly once
-    # cluster-wide, then broadcast-join the candidate table back onto the
-    # mention relation. High-duplication corpora (web text: the same
-    # surface strings recur across billions of pages) pay one small
-    # distinct shuffle instead of re-scoring every hot string once per
-    # partition — per-partition memoization is a 1000x redundancy at 1000
-    # executors. The big mention relation itself is never shuffled: the
-    # join back is a broadcast hash join on source_term.
-    uniq_schema = T.StructType(
-        [
-            T.StructField("source_term", T.StringType()),
-            T.StructField("mapped_term_label", T.StringType()),
-            T.StructField("mapped_term_iri", T.StringType()),
-            T.StructField("mapping_score", T.DoubleType()),
-        ]
-    )
+    # cluster-wide, then join the candidate table back onto the mention
+    # relation. High-duplication corpora (web text: the same surface
+    # strings recur across billions of pages) pay one small distinct
+    # shuffle instead of re-scoring every hot string once per partition —
+    # per-partition memoization is a 1000x redundancy at 1000 executors.
+    # No forced broadcast hint: AQE observes the materialized candidate
+    # size at runtime and converts the join to broadcast-hash when it fits
+    # (measured: identical wall time to an explicit hint at bench scale,
+    # the big mention side never shuffles), while a genuinely huge
+    # candidate table — near-unique mention text — degrades to a shuffle
+    # join instead of a driver OOM.
+    uniq_schema = T.StructType(CANDIDATE_SCHEMA.fields[1:])
 
     def score_unique(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # same kernel as score_batches minus the id fan-out: inputs are
+        # unique, so no memo; emits one candidate row per (term, label)
         tindex: _TargetIndex = b_idx.value
         sidf = b_idf.value
         for pdf in batches:
@@ -340,7 +339,7 @@ def tfidf_map_broadcast(
     )
     return (
         mentions.select("source_term_id", "source_term")
-        .join(F.broadcast(cand_per_term), "source_term")
+        .join(cand_per_term, "source_term")
         .select(
             "source_term_id",
             "source_term",

@@ -369,17 +369,24 @@ def _is_turtle(path: str) -> bool:
         return True
     if lower.endswith((".owl", ".rdf", ".xml")):
         return False
+    # skip leading '#' comment lines (common in NTriples/license headers —
+    # XML can't start with them) by READING LINES, not a fixed byte window:
+    # real exporter headers routinely exceed any fixed sniff size
+    head = ""
     try:
         with open(path, encoding="utf-8", errors="replace") as f:
-            head = f.read(2048)
+            for _ in range(10_000):  # bounded: don't scan a broken file forever
+                ln = f.readline()
+                if not ln:
+                    break
+                stripped = ln.strip()
+                if not stripped or stripped.startswith("#"):
+                    continue
+                head = stripped + "\n" + f.read(2048)
+                break
     except OSError:
         return False
-    # skip leading '#' comment lines (common in NTriples dumps) before
-    # sniffing — XML can't start with them
-    lines = [ln for ln in head.splitlines() if ln.strip()]
-    while lines and lines[0].lstrip().startswith("#"):
-        lines.pop(0)
-    head = "\n".join(lines).lstrip()
+    head = head.lstrip()
     return head.startswith(("@prefix", "@base", "PREFIX", "BASE")) or (
         not head.startswith("<?xml") and not head.startswith("<rdf")
         and ("@prefix" in head or head.startswith("<http"))

@@ -142,3 +142,51 @@ def test_cli_transport_resolution(tmp_path, monkeypatch):
     assert callable(t) and t("u", None, None) == []
     with pytest.raises(SystemExit):
         resolve_transport("no_colon_here")
+
+
+@pytest.mark.spark
+def test_api_mapper_dedups_calls_cluster_wide(spark, tmp_path):
+    """r3: API mappers call the service once per DISTINCT term TOTAL, not
+    once per distinct term PER PARTITION — the per-partition memo can't
+    dedup across partitions, and HTTP calls against a rate-limited service
+    are the scarcest resource in this path. Calls are counted through the
+    filesystem because Spark pickles the transport per task."""
+    import os
+
+    calls_dir = str(tmp_path / "calls")
+    os.makedirs(calls_dir)
+
+    def make_transport(calls_dir=calls_dir):
+        def counting_transport(url, params, headers):
+            import os as _os
+            import uuid
+
+            term = params["propertyValue"]
+            with open(_os.path.join(calls_dir, uuid.uuid4().hex), "w") as f:
+                f.write(term)
+            return [{
+                "annotatedProperty": {"propertyValue": term + " label"},
+                "semanticTags": ["http://example.org/z/" + term.replace(" ", "_")],
+                "confidence": "HIGH",
+            }]
+        return counting_transport
+
+    # 64 mention rows over 8 partitions, only 4 distinct strings
+    terms = [f"term {i % 4}" for i in range(64)]
+    mentions = mentions_from_list(spark, terms).repartition(8)
+    cfg = MappingConfig(max_mappings=1)
+    out = zooma_map(mentions, cfg, make_transport()).collect()
+    assert len(out) == 64  # every mention row got its candidate back
+    calls = [open(os.path.join(calls_dir, f)).read()
+             for f in os.listdir(calls_dir)]
+    assert len(calls) == 4, f"expected 4 HTTP calls, saw {len(calls)}"
+    assert sorted(set(calls)) == sorted({f"term {i}" for i in range(4)})
+
+    # explicit opt-out restores the per-partition plan (more calls)
+    for f in os.listdir(calls_dir):
+        os.remove(os.path.join(calls_dir, f))
+    import dataclasses
+
+    cfg_off = dataclasses.replace(cfg, dedup_scoring=False)
+    zooma_map(mentions, cfg_off, make_transport()).collect()
+    assert len(os.listdir(calls_dir)) >= 4  # per-partition memo only

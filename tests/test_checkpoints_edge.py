@@ -84,3 +84,20 @@ def test_run_bucketed_wrong_input_path_raises(spark, tmp_path):
     with pytest.raises(FileNotFoundError, match="no bucket=N"):
         run.run_bucketed(str(empty), lambda df: df)
     assert run.completed_buckets() == set()
+
+
+def test_run_bucketed_n_buckets_mismatch_raises(spark, tmp_path):
+    """Input written with MORE buckets than the run scans would silently
+    drop the tail buckets forever — must raise up front (r3 review)."""
+    src = str(tmp_path / "src")
+    rows = spark.createDataFrame(
+        [(f"u{i}", i) for i in range(200)], "url string, x int"
+    )
+    write_bucketed(rows, "url", src, n_buckets=8)
+    run = CheckpointedRun(spark, str(tmp_path / "out"), n_buckets=4)
+    with pytest.raises(ValueError, match="beyond n_buckets=4"):
+        run.run_bucketed(src, lambda df: df)
+    assert run.completed_buckets() == set()
+    # matching n_buckets processes everything
+    run8 = CheckpointedRun(spark, str(tmp_path / "out8"), n_buckets=8)
+    assert run8.run_bucketed(src, lambda df: df).count() == 200

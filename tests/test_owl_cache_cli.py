@@ -549,3 +549,18 @@ def test_extensionless_ntriples_with_comment_header(tmp_path):
     rows = parse_owl(str(p))
     assert rows[0]["iri"] == "http://example.org/n#A"
     assert rows[0]["labels"] == ["a term"]
+
+
+def test_extensionless_turtle_with_long_comment_header(tmp_path):
+    """A license/comment header larger than any fixed sniff window must not
+    push the file into the XML parser (r3 review finding)."""
+    p = tmp_path / "licensed"
+    header = "".join(f"# license line {i} " + "x" * 60 + "\n" for i in range(80))
+    p.write_text(header + """\
+@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
+@prefix owl: <http://www.w3.org/2002/07/owl#> .
+<http://example.org/L#A> a owl:Class ; rdfs:label "licensed term" .
+""")
+    assert len(header) > 4096  # precondition: beyond the old 2048-byte window
+    rows = parse_owl(str(p))
+    assert rows[0]["labels"] == ["licensed term"]

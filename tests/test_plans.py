@@ -145,6 +145,8 @@ def test_tfidf_dedup_scoring_equivalent_and_broadcast(spark):
     assert sorted(map(tuple, plain.collect())) == sorted(
         map(tuple, dedup.collect())
     )
-    p = plan_str(dedup)
-    assert "BroadcastHashJoin" in p, p
-    assert "SortMergeJoin" not in p, p
+    # no forced hint — AQE must convert the join to broadcast at runtime
+    # once it sees the small materialized candidate table (the EXECUTED
+    # plan, not the static one, is the contract here)
+    executed = dedup._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in executed, executed

@@ -179,3 +179,45 @@ def test_rdfxml_reasoning_matches_ttl(tmp_path):
     p.write_text(xml)
     via_xml = {r["iri"]: r for r in parse_owl(str(p), use_reasoning=True)}
     assert EX + "LungDisease" in via_xml[EX + "X"]["parents"]
+
+
+def test_classifier_scales_and_is_deterministic():
+    """Dimension-scale smoke: 5k classes (10-ary tree) + 500 definitions
+    classify in well under a minute driver-side (candidate pools are seeded
+    from named-conjunct descendants, not classes^2), and the inference
+    count is exactly reproducible."""
+    import time
+
+    from ontology_mapper_spark.sources.reasoning import classify_terms
+
+    def build():
+        terms = {}
+
+        def mk(iri, ttype="class"):
+            terms[iri] = {
+                "iri": iri, "labels": [iri], "synonyms": [],
+                "definitions": [], "parents": {}, "children": {},
+                "instances": {}, "restrictions": {}, "deprecated": False,
+                "term_type": ttype, "equiv": [],
+            }
+            return terms[iri]
+
+        mk("p0", "property")
+        for i in range(5000):
+            t = mk(f"c{i}")
+            if i > 0:
+                t["parents"][f"c{(i - 1) // 10}"] = ""
+            if i % 7 == 0:
+                t["restrictions"]["p0"] = f"c{i % 50}"
+        for d in range(500):
+            t = mk(f"def{d}")
+            t["equiv"].append(
+                {"named": [f"c{d % 100}"], "restrictions": {"p0": f"c{d % 50}"}}
+            )
+        return terms
+
+    t0 = time.time()
+    a = classify_terms(build())
+    elapsed = time.time() - t0
+    assert elapsed < 30, f"classifier too slow: {elapsed:.1f}s"
+    assert a == classify_terms(build()) == 34575
