@@ -138,3 +138,43 @@ def test_file_and_csv_scan(spark, tmp_path):
     assert {r["source_term"] for r in got2.collect()} == {"asthma", "allergy"}
     with pytest.raises(ValueError):
         mentions_from_csv(spark, str(csv), "nonexistent")
+
+
+@pytest.mark.spark
+def test_salted_ordinal_matches_unsalted_and_handles_hot_terms(spark):
+    """r3 (north_star skew): the stable ordinal salts hot terms across
+    reducers. For exact duplicates the ordinal SET per term is the contract
+    — {0..count-1}, identical to the unsalted single-reducer window — and
+    the derived ID set must match the unsalted plan's exactly."""
+    from ontology_mapper_spark.sources.terms import _with_stable_ordinal
+
+    # Zipf-ish: one hot term (5000 dups), a mid term, and a long tail
+    rows = (
+        [("cancer",)] * 5000
+        + [("asthma",)] * 37
+        + [(f"rare term {i}",) for i in range(200)]
+    )
+    df = spark.createDataFrame(rows, "source_term string").repartition(8)
+    # post-shuffle input: persist to pin partition order (see contract)
+    df = df.persist()
+    df.count()
+    try:
+        salted = _with_stable_ordinal(df, "source_term", salt_buckets=16)
+        got = [
+            (r["source_term"], r["idx"]) for r in salted.collect()
+        ]
+        per_term: dict[str, list[int]] = {}
+        for t, i in got:
+            per_term.setdefault(t, []).append(i)
+        assert sorted(per_term["cancer"]) == list(range(5000))
+        assert sorted(per_term["asthma"]) == list(range(37))
+        for i in range(200):
+            assert per_term[f"rare term {i}"] == [0]
+
+        unsalted = _with_stable_ordinal(df, "source_term", salt_buckets=1)
+        key = lambda d: sorted(
+            (r["source_term"], r["idx"]) for r in d.collect()
+        )
+        assert key(salted) == key(unsalted)
+    finally:
+        df.unpersist()
