@@ -162,9 +162,14 @@ def main() -> None:
     # run disproportionately (the low run has spare physical headroom), so
     # mixing measurements from different load windows skews the ratio.
     # Method: measure (high, low) back-to-back per ROUND — one consistent
-    # window — and report the round taken under the QUIETEST observed
-    # window (highest embedded 1-proc burn), a load-based selection made
-    # before looking at the ratio. All rounds ship in the JSON.
+    # window — and report the MEDIAN-efficiency round. (An earlier scheme
+    # picked the round with the highest embedded 1-proc burn, but observed
+    # burns differ by ~0.1% between rounds whose efficiencies span
+    # 0.77-0.92 — the probe cannot discriminate windows that finely, so
+    # the median is the noise-robust choice.) Throughput is reported from
+    # the fastest high-parallelism run across rounds — the work is
+    # identical, so min wall is the standard best-of-N capacity estimate.
+    # All rounds ship in the JSON.
     repeats = int(os.environ.get("BENCH_REPEATS", "3"))
     rounds: list[dict] = []
     for _ in range(repeats):
@@ -189,19 +194,19 @@ def main() -> None:
                 "_high": r["high"],
             }
         )
-    best = max(rounds, key=lambda x: min(x["burn_high"], x["burn_low"]))
+    med = sorted(rounds, key=lambda x: x["efficiency"])[len(rounds) // 2]
     scaling = {
         "cores_low": cores_low,
         "cores_high": cores_high,
-        "sec_low": best["sec_low"],
-        "sec_high": best["sec_high"],
-        "efficiency": best["efficiency"],
+        "sec_low": med["sec_low"],
+        "sec_high": med["sec_high"],
+        "efficiency": med["efficiency"],
         "rounds": [
             {k: v for k, v in rd.items() if not k.startswith("_")}
             for rd in rounds
         ],
     }
-    b = best["_high"]
+    b = min((rd["_high"] for rd in rounds), key=lambda h: h["sec"])
     kg_stats = {
         "pages": N_PAGES,
         "mentions": b["mentions"],

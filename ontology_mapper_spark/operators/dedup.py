@@ -72,47 +72,61 @@ def ngram_jaccard_pairs(
     ~5x10^7 candidate pairs from one shingle); pass ``max_bucket=None`` as
     the explicit escape hatch for exact unguarded semantics (r2 VERDICT
     #9 flipped this from opt-in to default-on)."""
-    # join on the 64-bit shingle hash, not the string: the self-join's
-    # shuffle keys drop from ~k-word strings to 8 bytes (measured 13.4 s ->
-    # 9.3 s at sf0.1 / local[32]). Jaccard depends only on key EQUALITY, so
-    # counts are unchanged up to 64-bit collisions (~n_distinct^2 / 2^65 —
-    # negligible at any bucket size the guard admits), and the DuckDB
-    # oracle, which joins on the strings themselves, stays hash-exact.
+    # group docs per 64-bit shingle hash, then generate ordered pairs
+    # map-side from each bucket array — one shuffle of the shingle relation
+    # instead of a two-sided self-join, and df=1 shingles (the bulk of a
+    # Zipfian shingle space) die in the size->=2 filter without ever
+    # producing join fan-out. Jaccard depends only on key EQUALITY, so
+    # hashing the shingle strings changes nothing up to 64-bit collisions
+    # (~n_distinct^2 / 2^65 — negligible at any bucket size the guard
+    # admits), and the DuckDB oracle, which joins on the strings
+    # themselves, stays hash-exact. (Measured at sf0.1: string self-join
+    # 13.4 s -> hashed self-join 9.3 s; warm local[16], hashed self-join
+    # 11.9 s -> this shape 6.6 s.) Residual skew: one hot bucket's pairs
+    # now stream from one task — bounded by the max_bucket contract; at
+    # corpus scale candidates come from MinHash LSH anyway.
     sh = docs.select(
         F.col(id_col).alias("doc"),
         F.explode(word_shingles(F.col(text_col), k)).alias("shingle"),
     ).select("doc", F.xxhash64("shingle").alias("shingle"))
-    if max_bucket is not None:
-        # 1-row lazy aggregate (hottest bucket size) cross-joined as a
-        # broadcast; raise_error fires at action time if it exceeds the cap
-        hottest = sh.groupBy("shingle").agg(
-            F.count(F.lit(1)).alias("_df")
-        ).agg(F.max("_df").alias("_max_df"))
-        # a filter predicate cannot be pruned away (a guard column could be)
-        sh = (
-            sh.crossJoin(F.broadcast(hottest))
-            .filter(
-                F.when(F.col("_max_df") <= max_bucket, F.lit(True)).otherwise(
-                    F.raise_error(
-                        F.concat(
-                            F.lit("ngram_jaccard_pairs: hottest shingle bucket "),
-                            F.col("_max_df").cast("string"),
-                            F.lit(
-                                f" exceeds max_bucket={max_bucket} — use "
-                                "MinHash LSH for candidate generation"
-                            ),
-                        )
-                    ).isNull()
-                )
-            )
-            .drop("_max_df")
-        )
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.withColumnRenamed("doc", "doc_a")
-    b = sh.withColumnRenamed("doc", "doc_b")
+    # sort_array pins doc_a < doc_b by construction
+    buckets = sh.groupBy("shingle").agg(
+        F.sort_array(F.collect_list("doc")).alias("ds")
+    )
+    if max_bucket is not None:
+        # executable contract: misuse fails loudly at action time instead
+        # of fanning out quadratically. Free here — the bucket array is
+        # already materialized (the old guard paid a full extra aggregate
+        # pass + crossJoin over the shingle relation).
+        elem_t = docs.schema[id_col].dataType.simpleString()
+        buckets = buckets.withColumn(
+            "ds",
+            F.when(F.size("ds") <= max_bucket, F.col("ds")).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("ngram_jaccard_pairs: hottest shingle bucket "),
+                        F.size("ds").cast("string"),
+                        F.lit(
+                            f" exceeds max_bucket={max_bucket} — use "
+                            "MinHash LSH for candidate generation"
+                        ),
+                    )
+                ).cast(f"array<{elem_t}>")
+            ),
+        )
+    # two chained Generates stay pipelined in one stage: no C(n,2) array is
+    # ever materialized per row, pairs stream out one at a time
+    e1 = buckets.filter(F.size("ds") >= 2).select(
+        "ds", F.posexplode("ds").alias("_i", "doc_a")
+    )
     inter = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        e1.select(
+            "doc_a",
+            F.explode(
+                F.slice("ds", F.col("_i") + 2, F.size("ds"))
+            ).alias("doc_b"),
+        )
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("matches"))
     )
@@ -141,36 +155,35 @@ def minhash_signatures(
     Lexicographic min over a keyed md5 is a valid uniform minhash and is
     engine-portable.
 
-    Physical shape: explode shingles x seeds -> partial-aggregated min per
-    (doc, seed) -> reassembled ordered array. The naive alternative — nested
-    ``transform`` lambdas — inlines the shingle-construction expression once
-    per seed in codegen (measured 16x blowup, ~2 orders of magnitude slower
-    at 5k docs); the explode keeps every md5 evaluated exactly once and the
-    shuffle is map-side-combined down to |docs| x num_hashes rows."""
+    Physical shape: explode shingles -> ONE projection computes all
+    ``num_hashes`` keyed digests as separate columns -> one hash aggregate
+    of per-seed mins per doc. Two rejected alternatives, both measured:
+    nested ``transform`` lambdas over an un-exploded shingle array inline
+    the shingle-construction expression once per seed in codegen
+    (CollapseProject; 16x blowup, ~2 orders of magnitude slower at 5k
+    docs); exploding shingles x seeds keeps each md5 evaluated once but
+    pushes num_hashes times more rows through the aggregate hash map
+    (r3: 9.7 s -> this shape at sf0.1). Here the explode's Generate node
+    is the codegen boundary that pins word_shingles to one evaluation per
+    shingle, each md5 is still evaluated exactly once, the aggregate sees
+    |shingles| rows instead of |shingles| x num_hashes, and the map-side
+    partial combine shuffles ONE row per doc."""
     sh = docs.select(
         F.col(id_col).alias("doc"),
         F.explode(word_shingles(F.col(text_col), k)).alias("s"),
     )
-    per_seed = (
-        sh.select(
-            "doc",
-            F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed"),
-            "s",
-        )
+    hcols = [
+        F.md5(F.concat_ws(":", F.lit(str(i)), F.col("s"))).alias(f"_h{i}")
+        for i in range(num_hashes)
+    ]
+    return (
+        sh.select("doc", *hcols)
+        .groupBy("doc")
+        .agg(*[F.min(f"_h{i}").alias(f"_h{i}") for i in range(num_hashes)])
         .select(
             "doc",
-            "seed",
-            F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("s"))).alias(
-                "h"
-            ),
+            F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("sig"),
         )
-        .groupBy("doc", "seed")
-        .agg(F.min("h").alias("h"))
-    )
-    return per_seed.groupBy("doc").agg(
-        F.transform(
-            F.sort_array(F.collect_list(F.struct("seed", "h"))), lambda x: x["h"]
-        ).alias("sig")
     )
 
 
