@@ -260,6 +260,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["simhash"] = lambda spark, sf: dd.simhash_profile(_docs(spark, sf), bits=32)
 
+    q["simhash_neardup"] = lambda spark, sf: dd.simhash_neardup_pairs(
+        _docs(spark, sf), max_dist=1, bits=32
+    )
+
     q["token_stats"] = lambda spark, sf: ts.token_stats(_docs(spark, sf))
     q["quality_score"] = lambda spark, sf: ts.quality_score(_docs(spark, sf))
     q["lang_id"] = lambda spark, sf: ts.lang_id(_docs(spark, sf))
@@ -1012,6 +1016,36 @@ acc AS (SELECT doc_id, i, sum(b) AS s FROM bits GROUP BY 1, 2)
 SELECT doc_id AS doc,
        string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY i) AS simhash
 FROM acc GROUP BY doc_id"""
+
+    o["simhash_neardup"] = f"""WITH {_WORDS_CTE},
+tok AS (SELECT doc_id, unnest(ws) AS w FROM words),
+bits AS (
+  SELECT doc_id, i,
+         CASE WHEN substring(md5(w), i, 1) IN ('8','9','a','b','c','d','e','f')
+              THEN 1 ELSE -1 END AS b
+  FROM tok, LATERAL unnest(generate_series(1, 32)) AS g(i)
+),
+acc AS (SELECT doc_id, i, sum(b) AS s FROM bits GROUP BY 1, 2),
+prof AS (
+  SELECT doc_id AS doc,
+         string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY i) AS sim
+  FROM acc GROUP BY doc_id
+),
+blocks AS (
+  SELECT doc, sim, blk, substring(sim, 1 + blk * 16, 16) AS blk_val
+  FROM prof, LATERAL unnest(generate_series(0, 1)) AS t(blk)
+),
+cand AS (
+  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b, a.sim AS sim_a, b.sim AS sim_b
+  FROM blocks a JOIN blocks b ON a.blk = b.blk AND a.blk_val = b.blk_val
+  WHERE a.doc < b.doc
+)
+SELECT doc_a, doc_b,
+       (SELECT count(*) FROM range(32) r(i)
+        WHERE substring(sim_a, CAST(i + 1 AS INT), 1)
+              <> substring(sim_b, CAST(i + 1 AS INT), 1)) AS hamming
+FROM cand
+WHERE hamming <= 1"""
 
     o["token_stats"] = f"""WITH {_WORDS_CTE}
 SELECT doc_id AS doc,

@@ -224,6 +224,71 @@ def minhash_lsh_candidates(
     )
 
 
+def simhash_neardup_pairs(
+    docs: DataFrame,
+    max_dist: int = 1,
+    bits: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """All (a, b) doc pairs whose SimHash profiles differ in at most
+    ``max_dist`` bits, with the exact hamming distance.
+
+    Pigeonhole candidate generation: split the ``bits``-bit profile into
+    ``max_dist + 1`` blocks — two profiles within hamming distance d MUST
+    agree exactly on at least one block — self-join on (block_idx,
+    block_value), then verify candidates with the exact bitwise distance.
+    All native expressions (the oracle replays it in SQL).
+
+    Scale note: candidate selectivity is the per-block key space,
+    2^(bits/(max_dist+1)). With bits=32, max_dist=1 gives 16-bit blocks
+    (65k buckets — fine); max_dist=3 gives 8-bit blocks (256 buckets —
+    every bucket is hot at corpus scale). Use 64-bit profiles before
+    raising max_dist past 1, or feed candidates from MinHash LSH."""
+    n_blocks = max_dist + 1
+    assert bits % n_blocks == 0, "bits must divide into max_dist+1 blocks"
+    width = bits // n_blocks
+    prof = simhash_profile(docs, bits, text_col, id_col)
+    blocks = prof.select(
+        "doc",
+        F.col("simhash").alias("sim"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.substring("simhash", 1 + i * width, width)
+                    for i in range(n_blocks)
+                ]
+            )
+        ).alias("blk", "blk_val"),
+    )
+    a = blocks.select(
+        F.col("doc").alias("doc_a"), F.col("sim").alias("sim_a"), "blk", "blk_val"
+    )
+    b = blocks.select(
+        F.col("doc").alias("doc_b"), F.col("sim").alias("sim_b"), "blk", "blk_val"
+    )
+    cand = (
+        a.join(b, ["blk", "blk_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sim_a", "sim_b")
+        .distinct()
+    )
+    ham = F.aggregate(
+        F.zip_with(
+            F.slice(F.split("sim_a", ""), 1, bits),
+            F.slice(F.split("sim_b", ""), 1, bits),
+            lambda x, y: (x != y).cast("int"),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        cand.withColumn("hamming", ham.cast("long"))
+        .filter(F.col("hamming") <= max_dist)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 def simhash_profile(
     docs: DataFrame, bits: int = 32, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

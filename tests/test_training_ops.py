@@ -73,6 +73,41 @@ def test_simhash_properties(spark, docs):
 
 
 @pytest.mark.spark
+def test_simhash_neardup_pairs_matches_bruteforce(spark):
+    """Pigeonhole candidates + exact hamming verify == brute force over all
+    pairs (r3). 60 docs: 20 base texts, each with an exact dup and a
+    one-word-changed variant."""
+    base = [
+        " ".join(f"w{i}x{j}" for j in range(25)) for i in range(20)
+    ]
+    rows = []
+    did = 0
+    for i, t in enumerate(base):
+        rows.append((did, t)); did += 1
+        rows.append((did, t)); did += 1  # exact dup -> distance 0
+        rows.append((did, t.replace(f"w{i}x7", "CHANGED")), ); did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dd.simhash_neardup_pairs(docs, max_dist=1, bits=32).collect()
+    }
+    prof = {r["doc"]: r["simhash"] for r in dd.simhash_profile(docs).collect()}
+    ids = sorted(prof)
+    expect = {}
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            d = sum(x != y for x, y in zip(prof[a], prof[b]))
+            if d <= 1:
+                expect[(a, b)] = d
+    assert got == expect
+    # every exact-dup pair is present at distance 0
+    for i in range(20):
+        assert got[(3 * i, 3 * i + 1)] == 0
+
+
+@pytest.mark.spark
 def test_cosine_topk_and_lsh_recall(spark):
     import random
 
