@@ -785,7 +785,7 @@ adot AS (
 assign AS (
   SELECT vec_id, v, list_id,
          row_number() OVER (PARTITION BY vec_id
-                            ORDER BY dot DESC, list_id) AS r
+                            ORDER BY round(dot, 9) DESC, list_id) AS r
   FROM adot
 ),
 corpus AS (SELECT vec_id, v, list_id FROM assign WHERE r = 1),
@@ -799,7 +799,7 @@ qdot AS (
 probes AS (
   SELECT query_id, qv, list_id FROM (
     SELECT *, row_number() OVER (PARTITION BY query_id
-                                 ORDER BY dot DESC, list_id) AS r
+                                 ORDER BY round(dot, 9) DESC, list_id) AS r
     FROM qdot
   ) t WHERE r <= {n_probe}
 ),

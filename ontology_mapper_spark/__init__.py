@@ -16,11 +16,13 @@ from ontology_mapper_spark.config import (  # noqa: F401
     OntologyTermType,
 )
 from ontology_mapper_spark.pipeline import (  # noqa: F401
+    build_pipeline_index,
     construct_full_kg,
     construct_kg,
     map_terms,
     map_terms_df,
     mappings_to_triples,
+    release_pipeline_cache,
 )
 from ontology_mapper_spark.session import get_spark  # noqa: F401
 from ontology_mapper_spark.sources.cache import (  # noqa: F401

@@ -96,16 +96,17 @@ class MappingConfig:
     prefilter_min_labels: int = 1000
     prefilter_ntop: int = 100  # candidates kept per mention by the prefilter
     prefilter_min_score: float = 0.05  # TF-IDF floor for prefilter candidates
-    dedup_scoring: bool | None = None  # TF-IDF broadcast plan: score each
-    # DISTINCT mention string once and broadcast-join candidates back,
-    # instead of scoring per partition with a per-partition memo. None =
-    # caller decides (map_terms_df keeps the zero-shuffle per-partition
-    # plan; construct_kg enables it — web corpora repeat the same surface
+    dedup_scoring: bool | None = None  # score each DISTINCT mention string
+    # once cluster-wide and join candidates back, instead of per-partition
+    # scoring with a per-partition memo. None = each operator's default:
+    # the TF-IDF broadcast plan keeps the zero-shuffle per-partition plan
+    # (construct_kg flips it on — web corpora repeat the same surface
     # strings constantly, and per-partition memoization still re-scores
     # every hot string once per partition, a 1000x redundancy on a 1000-
-    # executor cluster). Requires the distinct-candidates relation to be
-    # broadcastable (distinct mentions x max_mappings rows); disable for
-    # corpora with near-unique mention text.
+    # executor cluster); the Zooma/BioPortal API mappers default to ON
+    # (every duplicate HTTP call burns a rate-limited remote service —
+    # only False forces their per-partition plan). AQE picks broadcast vs
+    # shuffle for the join back from the candidate table's observed size.
     shuffle_partitions: int | None = None
     # Web-API mappers (S11/S12): the HTTP boundary is an injected picklable
     # transport(url, params, headers) -> parsed JSON (operators.api_mappers);

@@ -193,11 +193,17 @@ def ivf_cosine_topk(
     n_lists = min(n_lists, len(sample))
     centroids = _train_centroids(sample, n_lists, kmeans_iters)
 
+    # centroid dots are rounded to 9dp before argmax/argsort: numpy's
+    # BLAS (pairwise/SIMD summation) and a sequential SQL engine can land
+    # ~1 ulp apart on near-tied dots, which would flip a list assignment
+    # and make an independent replay disagree — the same cross-engine
+    # ulp-tie pin as the TF-IDF rank (tfidf.py _score_one)
     @F.pandas_udf("integer")
     def assign_list(vec: pd.Series) -> pd.Series:
         x = np.asarray(list(vec), dtype=np.float64)
         x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
-        return pd.Series(np.argmax(x @ centroids.T, axis=1).astype("int32"))
+        dots = np.round(x @ centroids.T, 9)
+        return pd.Series(np.argmax(dots, axis=1).astype("int32"))
 
     @F.pandas_udf("array<int>")
     def probe_lists(vec: pd.Series) -> pd.Series:
@@ -205,7 +211,8 @@ def ivf_cosine_topk(
         x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
         # stable sort: equal dots keep ascending list_id, matching the
         # DuckDB oracle's ORDER BY dot DESC, list_id ASC tie rule
-        order = np.argsort(-(x @ centroids.T), axis=1, kind="stable")[:, :n_probe]
+        dots = np.round(x @ centroids.T, 9)
+        order = np.argsort(-dots, axis=1, kind="stable")[:, :n_probe]
         return pd.Series(list(order.astype("int32")))
 
     corpus = embeddings.select(

@@ -85,10 +85,14 @@ def source_idf_map(
     (reference fits TfidfVectorizer on the full to_map list:
     ``tfidf_mapper.py:51``).
 
-    Physical shape: an Arrow-batched kernel emits per-partition partial
-    (ngram, df) counters plus a doc-count sentinel; one tiny sum-aggregate
-    (|keys| bounded by the trigram space) finishes it. Normalization +
-    n-gramming stay in Python here on purpose: Spark evaluates higher-order
+    Physical shape: a JVM hash aggregate collapses the corpus to (distinct
+    term, count) — map-side partial combine, the only pass that touches
+    every mention row stays whole-stage codegen — then an Arrow-batched
+    kernel n-grams each DISTINCT term once and scales its gram set by the
+    count (identical df/n_docs to per-occurrence counting, by linearity).
+    Web corpora repeat surface strings by construction, so this turns a
+    full-corpus Python pass into a |distinct terms| one. Normalization +
+    n-gramming stay in Python on purpose: Spark evaluates higher-order
     array lambdas interpreted (outside whole-stage codegen), which measured
     ~10x slower than this kernel; the Column versions remain the
     SQL-oracle-parity path (tfidf_map_inverted_index)."""
@@ -96,21 +100,21 @@ def source_idf_map(
     def df_partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         df_c: Counter = Counter()
         n = 0
-        memo: dict[str, set] = {}
         for pdf in batches:
-            for term in pdf["source_term"]:
-                n += 1
-                gs = memo.get(term)
-                if gs is None:
-                    gs = set(char_wb_ngrams_py(normalize_py(term), ngram_length))
-                    memo[term] = gs
-                df_c.update(gs)
+            for term, cnt in zip(pdf["source_term"], pdf["cnt"]):
+                c = int(cnt)
+                n += c
+                for g in set(
+                    char_wb_ngrams_py(normalize_py(term), ngram_length)
+                ):
+                    df_c[g] += c
         rows = list(df_c.items())
         rows.append((_COUNT_SENTINEL, n))
         yield pd.DataFrame(rows, columns=["ngram", "df"])
 
     agg = (
-        mentions.select("source_term")
+        mentions.groupBy("source_term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
         .mapInPandas(df_partials, schema="ngram string, df long")
         .groupBy("ngram")
         .agg(F.sum("df").alias("df"))
@@ -228,6 +232,7 @@ def tfidf_map_broadcast(
     onto_labels: DataFrame,
     cfg: MappingConfig,
     source_idf: tuple[dict, int] | None = None,
+    target_index: _TargetIndex | None = None,
 ) -> DataFrame:
     """Scale path: broadcast target index, map-side Arrow-batched scoring.
 
@@ -245,7 +250,16 @@ def tfidf_map_broadcast(
         else source_idf_map(mentions, cfg.ngram_length)
     )
     default_idf = math.log(float(1 + n_docs)) + 1.0  # df=0 fallback
-    idx = build_target_index(onto_labels, cfg.ngram_length)
+    # the index is a pure function of the ontology snapshot — callers that
+    # map many corpora/batches against one ontology (streaming
+    # micro-batches, checkpoint buckets, benchmark jobs) build it once via
+    # build_target_index and pass it here, exactly like the reference's
+    # cache-ontology-then-map flow amortizes its ontology parse
+    idx = (
+        target_index
+        if target_index is not None
+        else build_target_index(onto_labels, cfg.ngram_length)
+    )
     b_idx = spark.sparkContext.broadcast(idx)
     b_idf = spark.sparkContext.broadcast(src_idf)
     min_score, max_mappings, ntop, nlen = (
@@ -305,37 +319,17 @@ def tfidf_map_broadcast(
     # (measured: identical wall time to an explicit hint at bench scale,
     # the big mention side never shuffles), while a genuinely huge
     # candidate table — near-unique mention text — degrades to a shuffle
-    # join instead of a driver OOM.
-    uniq_schema = T.StructType(CANDIDATE_SCHEMA.fields[1:])
-
-    def score_unique(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # same kernel as score_batches minus the id fan-out: inputs are
-        # unique, so no memo; emits one candidate row per (term, label)
-        tindex: _TargetIndex = b_idx.value
-        sidf = b_idf.value
-        for pdf in batches:
-            terms_out, lbl_out, iri_out, sc_out = [], [], [], []
-            for term in pdf["source_term"]:
-                for lid, score in _score_one(
-                    normalize_py(term), tindex, sidf, default_idf, local_cfg
-                ):
-                    terms_out.append(term)
-                    lbl_out.append(tindex.displays[lid])
-                    iri_out.append(tindex.iris[lid])
-                    sc_out.append(score)
-            yield pd.DataFrame(
-                {
-                    "source_term": terms_out,
-                    "mapped_term_label": lbl_out,
-                    "mapped_term_iri": iri_out,
-                    "mapping_score": sc_out,
-                }
-            )
-
+    # join instead of a driver OOM. The SAME score_batches kernel runs over
+    # the distinct relation (term doubling as its own id, dropped after) —
+    # one kernel, so the two physical plans cannot drift apart.
     cand_per_term = (
         mentions.select("source_term")
         .distinct()
-        .mapInPandas(score_unique, schema=uniq_schema)
+        .select(
+            F.col("source_term").alias("source_term_id"), "source_term"
+        )
+        .mapInPandas(score_batches, schema=CANDIDATE_SCHEMA)
+        .drop("source_term_id")
     )
     return (
         mentions.select("source_term_id", "source_term")

@@ -43,7 +43,14 @@ def release_pipeline_cache(spark: SparkSession | None = None) -> None:
         k for k in list(_ACTIVE_MENTIONS) if spark is None or k == id(spark)
     ]
     for k in keys:
-        _ACTIVE_MENTIONS.pop(k).unpersist()
+        df = _ACTIVE_MENTIONS.pop(k)
+        try:
+            df.unpersist()
+        except Exception:
+            # the entry's session may already be stopped (nothing left to
+            # unpersist); never let one dead session abort releasing the
+            # rest, and always drop the dict reference either way
+            pass
 
 
 def _label_count(labels: DataFrame) -> int:
@@ -53,12 +60,32 @@ def _label_count(labels: DataFrame) -> int:
     return labels.count()
 
 
+def build_pipeline_index(
+    onto_terms: DataFrame, cfg: MappingConfig | None = None
+):
+    """Prebuild the broadcast TF-IDF target index for the given ontology
+    snapshot + config filters. The index is a pure function of the
+    (filtered) label table; callers mapping many corpora or micro-batches
+    against one ontology build it once and pass it to ``map_terms_df`` /
+    ``construct_kg`` as ``tfidf_index`` — the Spark analog of the
+    reference's cache-ontology-then-map flow (``t2t.py:60-77``), saving a
+    per-job driver collect + vectorization over the label table."""
+    from ontology_mapper_spark.operators.tfidf import build_target_index
+
+    cfg = cfg or MappingConfig()
+    onto = filter_terms_df(
+        onto_terms, cfg.base_iris, cfg.excl_deprecated, cfg.term_type
+    )
+    return build_target_index(onto_labels_df(onto), cfg.ngram_length)
+
+
 def map_terms_df(
     mentions: DataFrame,
     onto_terms: DataFrame,
     cfg: MappingConfig | None = None,
     tfidf_source_idf: tuple[dict, int] | None = None,
     tags_absent: bool = False,
+    tfidf_index=None,
 ) -> DataFrame:
     """mentions(source_term_id, source_term, tags) x onto_terms -> mappings
     (source_term_id, source_term, mapped_term_label, mapped_term_curie,
@@ -106,7 +133,9 @@ def map_terms_df(
             candidates = tfidf_map_inverted_index(to_map, labels, cfg)
         else:
             candidates = tfidf_map_broadcast(
-                to_map, labels, cfg, source_idf=tfidf_source_idf
+                to_map, labels, cfg,
+                source_idf=tfidf_source_idf,
+                target_index=tfidf_index,
             )
     elif cfg.mapper in (Mapper.ZOOMA, Mapper.BIOPORTAL):
         from ontology_mapper_spark.operators import api_mappers
@@ -197,6 +226,7 @@ def construct_kg(
     reextract: bool = False,
     dedup_pages: bool = False,
     tfidf_source_idf: tuple[dict, int] | None = None,
+    tfidf_index=None,
 ) -> DataFrame:
     """Full KG-construction flow (north_star): pages → (optional re-)extract
     → mention detection → entity linking → mapping triples. Hierarchy edges
@@ -237,6 +267,7 @@ def construct_kg(
         # detect_mentions emits a null-literal tags column — the tags
         # attachment join would be pure shuffle waste here
         tags_absent=True,
+        tfidf_index=tfidf_index,
     )
     return mappings_to_triples(mappings)
 

@@ -94,13 +94,16 @@ def _with_stable_ordinal(
     The web-scale mention source (pages.py) uses url#ordinal IDs and never
     takes this path.
 
-    Contract: ``df``'s partition-level row order must be deterministic
-    across recomputations (file scans are — both callers read straight
-    from files through narrow ops only). The salt draw uses
-    ``monotonically_increasing_id``, which the local-rank and offset
-    subtrees each recompute; a nondeterministically-ordered upstream
-    (e.g. a fresh shuffle) could assign different salts per subtree —
-    persist such inputs first."""
+    The salt draw uses ``monotonically_increasing_id``, and the local-rank
+    and offset subtrees BOTH consume the salted relation — so it is
+    persisted here to pin one consistent salt assignment for the two
+    evaluations (without it, a nondeterministically-ordered upstream such
+    as a fresh shuffle could assign different salts per subtree and
+    silently emit duplicate/missing ordinals). The cached blocks are
+    reclaimed by Spark's ContextCleaner when the plan is garbage
+    collected; only executor loss (not possible in local mode) could force
+    a recompute, and then only for deterministic-scan inputs is the replay
+    guaranteed identical."""
     from pyspark.sql import Window
 
     if salt_buckets <= 1:
@@ -109,6 +112,8 @@ def _with_stable_ordinal(
     # rand() would break Spark's task-retry determinism (a replayed task
     # must re-emit the same rows); a row hash salted by its intra-partition
     # position is deterministic per attempt and spreads duplicates evenly.
+    from pyspark import StorageLevel
+
     salted = df.withColumn(
         "_salt",
         F.pmod(
@@ -119,7 +124,7 @@ def _with_stable_ordinal(
             ),
             F.lit(salt_buckets),
         ).cast("int"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     w_local = Window.partitionBy(term_col, "_salt").orderBy(term_col)
     local = salted.withColumn("_local", F.row_number().over(w_local) - 1)
     # offset(term, salt) = total count of the same term in LOWER salts;

@@ -38,13 +38,21 @@ def stream_pages_to_triples(
     available_now: bool = True,
 ):
     """Incremental KG construction: new page files -> mappedTo triples,
-    exactly-once via streaming checkpoint + append sink."""
+    exactly-once via streaming checkpoint + append sink.
+
+    The ontology TF-IDF index is built ONCE here and reused by every
+    micro-batch (build_pipeline_index) — rebuilding the dimension index
+    per trigger would add a driver collect + vectorization to every batch
+    for a value that only changes when the ontology snapshot does."""
+    from ontology_mapper_spark.pipeline import build_pipeline_index
+
     stream = read_pages_stream(spark, input_dir)
+    tfidf_index = build_pipeline_index(onto_terms, cfg)
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        triples = construct_kg(batch_df, onto_terms, cfg)
+        triples = construct_kg(batch_df, onto_terms, cfg, tfidf_index=tfidf_index)
         (
             triples.withColumn("epoch", F.lit(epoch_id))
             .write.mode("append")

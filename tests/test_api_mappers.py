@@ -189,4 +189,7 @@ def test_api_mapper_dedups_calls_cluster_wide(spark, tmp_path):
 
     cfg_off = dataclasses.replace(cfg, dedup_scoring=False)
     zooma_map(mentions, cfg_off, make_transport()).collect()
-    assert len(os.listdir(calls_dir)) >= 4  # per-partition memo only
+    # strictly MORE calls than distinct terms: 8 partitions each hold all 4
+    # terms, so the per-partition plan must re-call across partitions — a
+    # '>= 4' here would pass even if the opt-out were silently ignored
+    assert len(os.listdir(calls_dir)) > 4

@@ -20,8 +20,17 @@ def test_oracle_keys_subset_of_queries():
     assert o <= q, f"oracle without query: {o - q}"
     # every query now has an oracle: ivf_ann_topk graduated in round 3
     # (deterministic trained centroids inlined as VALUES, same pattern as
-    # lsh_ann_topk) — no rows-only entries remain
-    assert q == o, f"query without oracle: {q - o}"
+    # lsh_ann_topk). The single documented degrade: ivf's oracle trains on
+    # the testdata embeddings, so a checkout WITHOUT /root/testdata falls
+    # back to a rows-only check for that one entry (and only that one).
+    missing = q - o
+    ivf_train = os.environ.get("ONTOMAP_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    allowed = (
+        set()
+        if os.path.exists(os.path.join(ivf_train, "embeddings.parquet"))
+        else {"ivf_ann_topk"}
+    )
+    assert missing <= allowed, f"query without oracle: {missing}"
 
 
 @pytest.mark.spark

@@ -154,11 +154,11 @@ def test_salted_ordinal_matches_unsalted_and_handles_hot_terms(spark):
         + [("asthma",)] * 37
         + [(f"rare term {i}",) for i in range(200)]
     )
+    # post-shuffle input on purpose: _with_stable_ordinal persists the
+    # salted relation internally, so even a nondeterministically-ordered
+    # upstream yields one consistent salt assignment (r3 review)
     df = spark.createDataFrame(rows, "source_term string").repartition(8)
-    # post-shuffle input: persist to pin partition order (see contract)
-    df = df.persist()
-    df.count()
-    try:
+    if True:
         salted = _with_stable_ordinal(df, "source_term", salt_buckets=16)
         got = [
             (r["source_term"], r["idx"]) for r in salted.collect()
@@ -176,5 +176,3 @@ def test_salted_ordinal_matches_unsalted_and_handles_hot_terms(spark):
             (r["source_term"], r["idx"]) for r in d.collect()
         )
         assert key(salted) == key(unsalted)
-    finally:
-        df.unpersist()
