@@ -269,3 +269,31 @@ def test_sequential_runs_do_not_accumulate_cache(spark, onto):
     assert n_cached() <= base + 1
     release_pipeline_cache(spark)
     assert n_cached() == base
+
+
+@pytest.mark.spark
+def test_prebuilt_index_output_identical(spark, onto):
+    """build_pipeline_index (r3): a prebuilt broadcast index must yield
+    row-identical mappings to the per-call build, including under the
+    dedup-scoring plan and config filters."""
+    import dataclasses
+
+    from ontology_mapper_spark.pipeline import build_pipeline_index, map_terms_df
+    from ontology_mapper_spark.sources.terms import mentions_from_list
+
+    cfg = MappingConfig(min_score=0.2, max_mappings=2)
+    m = mentions_from_list(
+        spark, ["asthma", "acute bronchitis", "asthma", "colon disease"]
+    )
+    idx = build_pipeline_index(onto, cfg)
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    assert rows(map_terms_df(m, onto, cfg, tfidf_index=idx)) == rows(
+        map_terms_df(m, onto, cfg)
+    )
+    cfg_dd = dataclasses.replace(cfg, dedup_scoring=True)
+    assert rows(map_terms_df(m, onto, cfg_dd, tfidf_index=idx)) == rows(
+        map_terms_df(m, onto, cfg)
+    )
