@@ -92,7 +92,7 @@ def kg_job(spark, n_pages: int) -> tuple[int, int]:
     Real web corpora duplicate heavily but carry a heavy tail of distinct
     strings; scaling the tail keeps the benchmark honest about the
     distinct-scoring work a 100 TB corpus actually brings."""
-    pages = synthesize_pages(spark, n_pages, variants=max(997, n_pages // 30))
+    pages = _bench_pages(spark, n_pages)
     onto = _onto_table(spark)
     cfg = MappingConfig(min_score=0.3, max_mappings=3)
     if not _ONTO_INDEX:
@@ -102,8 +102,23 @@ def kg_job(spark, n_pages: int) -> tuple[int, int]:
     triples = construct_kg(
         pages, onto, cfg, reextract=True, tfidf_index=_ONTO_INDEX[0]
     )
-    n_triples = triples.count()
-    return n_pages * 4, n_triples
+    return triples.count()
+
+
+def _bench_pages(spark, n_pages: int):
+    return synthesize_pages(spark, n_pages, variants=max(997, n_pages // 30))
+
+
+def _mention_count(spark, n_pages: int) -> int:
+    """EXACT mention count entering the pipeline — detect_mentions keeps
+    en pages only (~9.5% of synthetic pages are de/fr), so the old
+    ``n_pages * 4`` estimate overstated mentions/s by ~10% (r3 review).
+    Untimed: counted once per measurement subprocess, outside the clock."""
+    from ontology_mapper_spark.sources.pages import detect_mentions, extract_text
+
+    return detect_mentions(
+        extract_text(_bench_pages(spark, n_pages)), langs=("en",)
+    ).count()
 
 
 def suite(spark, sf_dir: str) -> dict[str, float]:
@@ -158,9 +173,10 @@ def _kg_run(cores: int, n_pages: int) -> None:
     spark = get_spark(f"bench-kg-{cores}", cores=cores,
                       shuffle_partitions=max(cores * 2, 16))
     kg_job(spark, 1000)  # warm JVM/codegen/Python workers: steady-state
+    n_mentions = _mention_count(spark, n_pages)  # exact, untimed
     burn = _burn(None)  # host-load context for this measurement window
     t0 = time.time()
-    n_mentions, n_triples = kg_job(spark, n_pages)
+    n_triples = kg_job(spark, n_pages)
     dt = time.time() - t0
     spark.stop()
     print(json.dumps(
@@ -216,9 +232,18 @@ def main() -> None:
     import shutil as _shutil
 
     taskset = _shutil.which("taskset")
+    try:
+        # respect an existing affinity mask (container cpusets may not
+        # include CPU 0): pin to the first N CPUs this process may use
+        allowed = sorted(os.sched_getaffinity(0))
+    except AttributeError:  # non-Linux
+        allowed = list(range(CPUS))
 
     def _pin(cores: int) -> list[str]:
-        return [taskset, "-c", f"0-{cores - 1}"] if taskset else []
+        if not taskset or len(allowed) < cores:
+            return []
+        cpus = ",".join(str(c) for c in allowed[:cores])
+        return [taskset, "-c", cpus]
 
     for _ in range(repeats):
         r: dict[str, dict] = {}

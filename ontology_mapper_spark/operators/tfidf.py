@@ -79,23 +79,27 @@ _COUNT_SENTINEL = "\x00__doc_count__"
 
 
 def source_idf_map(
-    mentions: DataFrame, ngram_length: int = 3
+    mentions: DataFrame, ngram_length: int = 3, dedup: bool = True
 ) -> tuple[dict[str, float], int]:
     """Document frequency of each char-3gram over the mention corpus
     (reference fits TfidfVectorizer on the full to_map list:
     ``tfidf_mapper.py:51``).
 
-    Physical shape: a JVM hash aggregate collapses the corpus to (distinct
-    term, count) — map-side partial combine, the only pass that touches
-    every mention row stays whole-stage codegen — then an Arrow-batched
-    kernel n-grams each DISTINCT term once and scales its gram set by the
-    count (identical df/n_docs to per-occurrence counting, by linearity).
-    Web corpora repeat surface strings by construction, so this turns a
-    full-corpus Python pass into a |distinct terms| one. Normalization +
-    n-gramming stay in Python on purpose: Spark evaluates higher-order
-    array lambdas interpreted (outside whole-stage codegen), which measured
-    ~10x slower than this kernel; the Column versions remain the
-    SQL-oracle-parity path (tfidf_map_inverted_index)."""
+    Physical shape, ``dedup=True`` (the high-duplication default, matching
+    the dedup-scoring plan): a JVM hash aggregate collapses the corpus to
+    (distinct term, count) — map-side partial combine, the only pass that
+    touches every mention row stays whole-stage codegen — then an
+    Arrow-batched kernel n-grams each DISTINCT term once and scales its
+    gram set by the count (identical df/n_docs to per-occurrence counting,
+    by linearity). ``dedup=False`` (near-unique mention text, where the
+    distinct aggregate would shuffle the whole fact table for no
+    reduction): a zero-shuffle per-partition kernel with a per-partition
+    memo emits (ngram, df) partials directly. Both plans feed the same
+    trigram-bounded final aggregate. Normalization + n-gramming stay in
+    Python on purpose: Spark evaluates higher-order array lambdas
+    interpreted (outside whole-stage codegen), which measured ~10x slower
+    than these kernels; the Column versions remain the SQL-oracle-parity
+    path (tfidf_map_inverted_index)."""
 
     def df_partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         df_c: Counter = Counter()
@@ -112,14 +116,35 @@ def source_idf_map(
         rows.append((_COUNT_SENTINEL, n))
         yield pd.DataFrame(rows, columns=["ngram", "df"])
 
-    agg = (
-        mentions.groupBy("source_term")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .mapInPandas(df_partials, schema="ngram string, df long")
-        .groupBy("ngram")
-        .agg(F.sum("df").alias("df"))
-        .collect()
-    )
+    def df_partials_rows(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        df_c: Counter = Counter()
+        n = 0
+        memo: dict[str, set] = {}
+        for pdf in batches:
+            for term in pdf["source_term"]:
+                n += 1
+                gs = memo.get(term)
+                if gs is None:
+                    gs = set(char_wb_ngrams_py(normalize_py(term), ngram_length))
+                    memo[term] = gs
+                df_c.update(gs)
+        rows = list(df_c.items())
+        rows.append((_COUNT_SENTINEL, n))
+        yield pd.DataFrame(rows, columns=["ngram", "df"])
+
+    if dedup:
+        partials = (
+            mentions.groupBy("source_term")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .mapInPandas(df_partials, schema="ngram string, df long")
+        )
+    else:
+        partials = mentions.select("source_term").mapInPandas(
+            df_partials_rows, schema="ngram string, df long"
+        )
+    agg = partials.groupBy("ngram").agg(F.sum("df").alias("df")).collect()
     n_docs = 0
     dfs: dict[str, int] = {}
     for r in agg:
@@ -133,12 +158,19 @@ def source_idf_map(
 
 class _TargetIndex:
     """Driver-built vectorized ontology: per-ngram postings of l2-normalized
-    tf-idf weights, plus per-label iri/display arrays. Broadcast once."""
+    tf-idf weights, plus per-label iri/display arrays. Broadcast once.
 
-    __slots__ = ("postings", "iris", "displays", "n_labels")
+    ``ngram_length`` is recorded so a prebuilt index passed back into
+    ``tfidf_map_broadcast`` can be validated against the call's config — a
+    gram-size mismatch would silently score ~0 everywhere. Ontology
+    SNAPSHOT staleness is the caller's contract (rebuilding on snapshot
+    change), mirroring the reference's cache-then-map flow."""
+
+    __slots__ = ("postings", "iris", "displays", "n_labels", "ngram_length")
 
     def __init__(self, labels: list[tuple[str, str, str]], ngram_length: int):
         # labels: [(name, iri, display_label)] in label_id order
+        self.ngram_length = ngram_length
         self.n_labels = len(labels)
         self.iris = np.array([l[1] for l in labels], dtype=object)
         self.displays = np.array([l[2] for l in labels], dtype=object)
@@ -247,7 +279,12 @@ def tfidf_map_broadcast(
     src_idf, n_docs = (
         source_idf
         if source_idf is not None
-        else source_idf_map(mentions, cfg.ngram_length)
+        # the IDF pass follows the same duplication assumption as scoring:
+        # distinct-count for high-dup corpora, zero-shuffle per-partition
+        # partials when the caller opted out of dedup (near-unique text)
+        else source_idf_map(
+            mentions, cfg.ngram_length, dedup=bool(cfg.dedup_scoring)
+        )
     )
     default_idf = math.log(float(1 + n_docs)) + 1.0  # df=0 fallback
     # the index is a pure function of the ontology snapshot — callers that
@@ -255,6 +292,13 @@ def tfidf_map_broadcast(
     # micro-batches, checkpoint buckets, benchmark jobs) build it once via
     # build_target_index and pass it here, exactly like the reference's
     # cache-ontology-then-map flow amortizes its ontology parse
+    if target_index is not None and target_index.ngram_length != cfg.ngram_length:
+        raise ValueError(
+            f"tfidf_map_broadcast: prebuilt index was built with "
+            f"ngram_length={target_index.ngram_length} but the config asks "
+            f"for {cfg.ngram_length} — rebuild via build_pipeline_index "
+            "with this config"
+        )
     idx = (
         target_index
         if target_index is not None
@@ -271,20 +315,29 @@ def tfidf_map_broadcast(
     local_cfg = MappingConfig(
         min_score=min_score, max_mappings=max_mappings, ntop=ntop, ngram_length=nlen
     )
+    # plain bool so the kernel closure never pickles the full cfg (it may
+    # carry a non-picklable api_transport)
+    use_memo = not cfg.dedup_scoring
 
     def score_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         tindex: _TargetIndex = b_idx.value
         sidf = b_idf.value
-        memo: dict[str, list[tuple[int, float]]] = {}
+        # per-partition memo of hot strings; the dedup plan feeds this same
+        # kernel ALREADY-DISTINCT rows, where every memo insert would be a
+        # dead write growing worker RSS for zero hits — disabled there
+        memo: dict[str, list[tuple[int, float]]] | None = (
+            {} if use_memo else None
+        )
         for pdf in batches:
             ids_out, terms_out, lbl_out, iri_out, sc_out = [], [], [], [], []
             for sid, term in zip(pdf["source_term_id"], pdf["source_term"]):
-                cands = memo.get(term)
+                cands = memo.get(term) if memo is not None else None
                 if cands is None:
                     cands = _score_one(
                         normalize_py(term), tindex, sidf, default_idf, local_cfg
                     )
-                    memo[term] = cands
+                    if memo is not None:
+                        memo[term] = cands
                 for lid, score in cands:
                     ids_out.append(sid)
                     terms_out.append(term)

@@ -51,6 +51,9 @@ def release_pipeline_cache(spark: SparkSession | None = None) -> None:
             # unpersist); never let one dead session abort releasing the
             # rest, and always drop the dict reference either way
             pass
+    # one-stop cleanup: the term-file ID path keeps its own single-slot
+    # salted-ordinal cache (sources.terms)
+    term_src.release_ordinal_cache(spark)
 
 
 def _label_count(labels: DataFrame) -> int:

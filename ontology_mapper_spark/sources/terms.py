@@ -68,6 +68,27 @@ def mentions_from_dict(spark: SparkSession, tagged: dict) -> DataFrame:
     return spark.createDataFrame(rows, schema=MENTIONS_SCHEMA)
 
 
+# Most-recent persisted salted relation per SparkSession — the salt
+# assignment must be pinned across the two subtrees that consume it, and
+# Spark SQL's CacheManager keeps cached plans until explicitly unpersisted,
+# so exactly one slot stays live per session (r3 review: the cache leaked
+# for the session lifetime otherwise).
+_ACTIVE_SALTED: dict[int, DataFrame] = {}
+
+
+def release_ordinal_cache(spark=None) -> None:
+    """Unpersist the salted-ordinal relation cached by the last
+    ``mentions_from_file`` / ``mentions_from_csv`` call (or all sessions'
+    when ``spark`` is None). Safe to call after the session stopped."""
+    keys = [k for k in list(_ACTIVE_SALTED) if spark is None or k == id(spark)]
+    for k in keys:
+        df = _ACTIVE_SALTED.pop(k)
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+
+
 def _with_stable_ordinal(
     df: DataFrame, term_col: str, out_col: str = "idx", salt_buckets: int = 16
 ) -> DataFrame:
@@ -99,11 +120,13 @@ def _with_stable_ordinal(
     persisted here to pin one consistent salt assignment for the two
     evaluations (without it, a nondeterministically-ordered upstream such
     as a fresh shuffle could assign different salts per subtree and
-    silently emit duplicate/missing ordinals). The cached blocks are
-    reclaimed by Spark's ContextCleaner when the plan is garbage
-    collected; only executor loss (not possible in local mode) could force
-    a recompute, and then only for deterministic-scan inputs is the replay
-    guaranteed identical."""
+    silently emit duplicate/missing ordinals). Spark SQL's CacheManager
+    holds cached plans until an explicit unpersist, so each call releases
+    the previous call's cache (one live slot per session, same pattern as
+    pipeline._ACTIVE_MENTIONS) and ``release_ordinal_cache`` frees the
+    last one. Only executor loss (not possible in local mode) could force
+    a recompute of a pinned partition, and then only for
+    deterministic-scan inputs is the replay guaranteed identical."""
     from pyspark.sql import Window
 
     if salt_buckets <= 1:
@@ -125,6 +148,14 @@ def _with_stable_ordinal(
             F.lit(salt_buckets),
         ).cast("int"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    sess = df.sparkSession
+    prev = _ACTIVE_SALTED.pop(id(sess), None)
+    if prev is not None:
+        try:
+            prev.unpersist()
+        except Exception:
+            pass
+    _ACTIVE_SALTED[id(sess)] = salted
     w_local = Window.partitionBy(term_col, "_salt").orderBy(term_col)
     local = salted.withColumn("_local", F.row_number().over(w_local) - 1)
     # offset(term, salt) = total count of the same term in LOWER salts;

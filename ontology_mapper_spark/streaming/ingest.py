@@ -44,10 +44,19 @@ def stream_pages_to_triples(
     micro-batch (build_pipeline_index) — rebuilding the dimension index
     per trigger would add a driver collect + vectorization to every batch
     for a value that only changes when the ontology snapshot does."""
+    from ontology_mapper_spark.config import Mapper
     from ontology_mapper_spark.pipeline import build_pipeline_index
 
     stream = read_pages_stream(spark, input_dir)
-    tfidf_index = build_pipeline_index(onto_terms, cfg)
+    # only the TF-IDF broadcast plan consumes the prebuilt index; building
+    # it for API mappers / the inverted-index plan would be dead driver
+    # work at stream start (r3 review)
+    effective = cfg or MappingConfig()
+    tfidf_index = (
+        build_pipeline_index(onto_terms, cfg)
+        if effective.mapper == Mapper.TFIDF and not effective.use_inverted_index
+        else None
+    )
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():

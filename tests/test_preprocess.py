@@ -158,21 +158,31 @@ def test_salted_ordinal_matches_unsalted_and_handles_hot_terms(spark):
     # salted relation internally, so even a nondeterministically-ordered
     # upstream yields one consistent salt assignment (r3 review)
     df = spark.createDataFrame(rows, "source_term string").repartition(8)
-    if True:
-        salted = _with_stable_ordinal(df, "source_term", salt_buckets=16)
-        got = [
-            (r["source_term"], r["idx"]) for r in salted.collect()
-        ]
-        per_term: dict[str, list[int]] = {}
-        for t, i in got:
-            per_term.setdefault(t, []).append(i)
-        assert sorted(per_term["cancer"]) == list(range(5000))
-        assert sorted(per_term["asthma"]) == list(range(37))
-        for i in range(200):
-            assert per_term[f"rare term {i}"] == [0]
+    salted = _with_stable_ordinal(df, "source_term", salt_buckets=16)
+    got = [(r["source_term"], r["idx"]) for r in salted.collect()]
+    per_term: dict[str, list[int]] = {}
+    for t, i in got:
+        per_term.setdefault(t, []).append(i)
+    assert sorted(per_term["cancer"]) == list(range(5000))
+    assert sorted(per_term["asthma"]) == list(range(37))
+    for i in range(200):
+        assert per_term[f"rare term {i}"] == [0]
 
-        unsalted = _with_stable_ordinal(df, "source_term", salt_buckets=1)
-        key = lambda d: sorted(
-            (r["source_term"], r["idx"]) for r in d.collect()
-        )
-        assert key(salted) == key(unsalted)
+    unsalted = _with_stable_ordinal(df, "source_term", salt_buckets=1)
+    key = lambda d: sorted((r["source_term"], r["idx"]) for r in d.collect())
+    assert key(salted) == key(unsalted)
+
+    # the internal persist is single-slot per session and releasable:
+    # repeated calls must not accumulate cached relations (r3 review)
+    from ontology_mapper_spark.sources.terms import release_ordinal_cache
+
+    def n_cached():
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    release_ordinal_cache(spark)
+    base = n_cached()
+    for _ in range(3):
+        _with_stable_ordinal(df, "source_term", salt_buckets=16).count()
+    assert n_cached() <= base + 1
+    release_ordinal_cache(spark)
+    assert n_cached() == base
