@@ -6,6 +6,9 @@ Public API (mirrors the reference's surface, ``t2t.py:31-34``):
     map_terms / map_terms_df  — free-text -> ontology mappings DataFrame
     construct_kg              — pages -> (subj, mappedTo, obj) triples
     construct_full_kg         — triples ∪ hierarchy edges, pred-partitioned
+    build_pipeline_index      — prebuild the broadcast TF-IDF index once
+                                per ontology snapshot (pass as tfidf_index=)
+    release_pipeline_cache    — free the pipeline's persisted relations
     cache_ontology / cache_ontology_set / cache_exists / clear_cache
     MappingConfig, Mapper, OntologyTermType
 """
