@@ -83,6 +83,13 @@ class MappingConfig:
     ntop: int = 50  # tfidf_mapper.py:55 candidate cap per mention
     # Engine-only scale knobs (no reference equivalent):
     use_inverted_index: bool = False  # False => broadcast-CSR mapInPandas path
+    # Auto-fallback: above this label count the pipeline dispatches to the
+    # pure-DataFrame inverted-index plan even with use_inverted_index=False
+    # — the broadcast plan collects the label table to the driver and
+    # vectorizes it, which stops being broadcast-material somewhere past
+    # ~10^6 names (SNOMED/UMLS-scale; EFO's 75k stays broadcast). The
+    # count comes from the dimension table only (metadata-scale action).
+    inverted_index_min_labels: int = 1_000_000
     stop_ngram_df_fraction: float | None = None  # inverted index: drop target
     # postings for n-grams present in more than this fraction of labels.
     # Their IDF is near zero, so they carry negligible score mass but cause

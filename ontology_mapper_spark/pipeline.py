@@ -132,7 +132,18 @@ def map_terms_df(
 
     to_map = post.filter_ignored(mentions)
     if cfg.mapper == Mapper.TFIDF:
-        if cfg.use_inverted_index:
+        # a prebuilt index proves the ontology is broadcast-sized; otherwise
+        # auto-fall back to the pure-DataFrame inverted-index plan past the
+        # label count where driver collect + broadcast stops being viable
+        # limit-bounded count: reads at most threshold rows, so probing a
+        # SNOMED/UMLS-scale dimension costs the same as a small one
+        use_inverted = cfg.use_inverted_index or (
+            tfidf_index is None
+            and cfg.inverted_index_min_labels is not None
+            and labels.limit(cfg.inverted_index_min_labels).count()
+            >= cfg.inverted_index_min_labels
+        )
+        if use_inverted:
             candidates = tfidf_map_inverted_index(to_map, labels, cfg)
         else:
             candidates = tfidf_map_broadcast(

@@ -297,3 +297,43 @@ def test_prebuilt_index_output_identical(spark, onto):
     assert rows(map_terms_df(m, onto, cfg_dd, tfidf_index=idx)) == rows(
         map_terms_df(m, onto, cfg)
     )
+
+
+@pytest.mark.spark
+def test_inverted_index_auto_fallback(spark, onto):
+    """Past inverted_index_min_labels the pipeline must dispatch to the
+    pure-DataFrame inverted-index plan automatically — the broadcast plan's
+    driver collect stops being viable at SNOMED/UMLS dimension scale. Both
+    plans are proven output-equal elsewhere (tests/test_tfidf.py), so here
+    we assert the dispatch itself via the physical plan: the broadcast plan
+    is a zero-Exchange mapInPandas, the inverted plan hash-aggregates."""
+    import dataclasses
+
+    from ontology_mapper_spark.pipeline import map_terms_df
+    from ontology_mapper_spark.sources.terms import mentions_from_list
+
+    m = mentions_from_list(spark, ["asthma"])
+    base = MappingConfig(max_mappings=1)
+
+    def plan(cfg):
+        return (
+            map_terms_df(m, onto, cfg)
+            ._jdf.queryExecution().optimizedPlan().toString()
+        )
+
+    # tiny ontology, default threshold: broadcast plan (no ngram explode)
+    assert "posexplode" not in plan(base).lower()
+    p_forced = plan(dataclasses.replace(base, inverted_index_min_labels=1))
+    # threshold 1: the fixture ontology must trip the auto-fallback — the
+    # inverted plan's signature is the n-gram explode + aggregate
+    assert "explode" in p_forced.lower() or "generate" in p_forced.lower()
+    # explicit prebuilt index wins over the threshold (proven broadcastable)
+    from ontology_mapper_spark.pipeline import build_pipeline_index
+
+    cfg_idx = dataclasses.replace(base, inverted_index_min_labels=1)
+    idx = build_pipeline_index(onto, cfg_idx)
+    p_idx = (
+        map_terms_df(m, onto, cfg_idx, tfidf_index=idx)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "generate" not in p_idx.lower()
