@@ -150,3 +150,22 @@ def test_tfidf_dedup_scoring_equivalent_and_broadcast(spark):
     # plan, not the static one, is the contract here)
     executed = dedup._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in executed, executed
+
+
+@pytest.mark.spark
+def test_no_row_at_a_time_python_anywhere_in_kg_plan(spark):
+    """UDF policy (README): Arrow-batched kernels only. A row-at-a-time
+    Python UDF materializes as BatchEvalPython in the plan; the Arrow paths
+    show ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas. Pin the
+    whole KG flow (the engine's largest composed plan) to the fast path."""
+    from ontology_mapper_spark.config import MappingConfig
+    from ontology_mapper_spark.pipeline import construct_full_kg
+    from ontology_mapper_spark.sources.ontology import fixture_onto_terms
+    from ontology_mapper_spark.sources.pages import synthesize_pages
+
+    kg = construct_full_kg(
+        synthesize_pages(spark, 50), fixture_onto_terms(spark),
+        MappingConfig(max_mappings=1),
+    )
+    plan = kg._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan, plan
