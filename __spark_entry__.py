@@ -264,6 +264,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs(spark, sf), max_dist=1, bits=32
     )
 
+    q["neardup_clusters"] = lambda spark, sf: dd.neardup_clusters(
+        dd.minhash_lsh_candidates(_docs(spark, sf), num_hashes=16, bands=4, k=3)
+    )
+
+    # fraction 0.1 -> md5-prefix threshold 0x19999999 (computed identically
+    # in the oracle) — membership is a pure function of doc_id
+    q["deterministic_sample"] = lambda spark, sf: dd.deterministic_sample(
+        _docs(spark, sf), 0.1
+    ).select("doc_id", "lang", "n_chars")
+
     q["token_stats"] = lambda spark, sf: ts.token_stats(_docs(spark, sf))
     q["quality_score"] = lambda spark, sf: ts.quality_score(_docs(spark, sf))
     q["lang_id"] = lambda spark, sf: ts.lang_id(_docs(spark, sf))
@@ -1003,6 +1013,38 @@ bands AS (
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
 WHERE a.doc_id < b.doc_id"""
+
+    thr = format(int(0.1 * 16**8), "08x")
+    o["deterministic_sample"] = f"""SELECT doc_id, lang, n_chars FROM documents
+WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{thr}'"""
+
+    # connected components over the SAME LSH pairs: recursive closure,
+    # cluster_id = min reachable doc (mirrors min-label propagation)
+    o["neardup_clusters"] = f"""WITH RECURSIVE {_SHINGLES_CTE},
+sig AS (
+  SELECT doc_id, i, min(md5(i::VARCHAR || ':' || s)) AS h
+  FROM sh, LATERAL unnest(generate_series(0, 15)) AS t(i)
+  GROUP BY 1, 2
+),
+bands AS (
+  SELECT doc_id, i // 4 AS band, md5(string_agg(h, '|' ORDER BY i)) AS band_hash
+  FROM sig GROUP BY doc_id, i // 4
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
+  WHERE a.doc_id < b.doc_id
+),
+sym AS (
+  SELECT doc_a AS doc, doc_b AS nbr FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(doc, r) AS (
+  SELECT DISTINCT doc, doc FROM sym
+  UNION
+  SELECT s.doc, r.r FROM sym s JOIN reach r ON s.nbr = r.doc
+)
+SELECT doc, min(r) AS cluster_id FROM reach GROUP BY doc"""
 
     o["simhash"] = f"""WITH {_WORDS_CTE},
 tok AS (SELECT doc_id, unnest(ws) AS w FROM words),

@@ -325,3 +325,90 @@ def simhash_profile(
         "",
     )
     return docs.select(F.col(id_col).alias("doc"), sim.alias("simhash"))
+
+
+def deterministic_sample(
+    docs: DataFrame, fraction: float, id_col: str = "doc_id"
+) -> DataFrame:
+    """Reproducible corpus sample: keep rows whose md5(id) 8-hex-digit
+    prefix falls below ``fraction`` of the hex space. Unlike
+    ``DataFrame.sample`` (seeded per-partition RNG — resplitting the input
+    changes the sample), membership is a pure function of the id, so the
+    same ids are selected on any engine, partitioning, or day — the
+    training-pipeline contract for held-out splits. The filter is a
+    map-side string compare (md5 hex is fixed-width lowercase, so
+    lexicographic == numeric); no shuffle."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    if fraction >= 1.0:
+        # 16**8 formats to 9 hex chars, which string-compares BELOW any
+        # 8-char prefix starting past '1' — keep-everything must bypass
+        return docs
+    threshold = format(int(fraction * 16**8), "08x")
+    return docs.filter(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8) < threshold
+    )
+
+
+def neardup_clusters(pairs: DataFrame, max_iterations: int = 50) -> DataFrame:
+    """Connected components over near-dup pairs -> (doc, cluster_id) with
+    cluster_id = min doc id in the component. This is the step that turns
+    any pair generator (MinHash LSH, SimHash, embedding near-dup) into an
+    executable dedup policy: keep each cluster's canonical (min-id) doc,
+    drop the rest.
+
+    Physical shape: iterative min-label propagation — each round joins the
+    current labels across the symmetrized edge set and takes the map-side-
+    combined min per doc, converging in O(component diameter) rounds
+    (near-dup clusters are shallow: diameter is small even when clusters
+    are large). localCheckpoint per round truncates the growing lineage,
+    same pattern as graph.ancestor_closure; cycle-safe by construction
+    (min-propagation is monotone)."""
+    sym = (
+        pairs.select(F.col("doc_a").alias("doc"), F.col("doc_b").alias("nbr"))
+        .unionByName(
+            pairs.select(
+                F.col("doc_b").alias("doc"), F.col("doc_a").alias("nbr")
+            )
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        sym.select("doc")
+        .distinct()
+        .select("doc", F.col("doc").alias("cluster_id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        nbr_min = (
+            sym.join(
+                labels.select(
+                    F.col("doc").alias("nbr"), F.col("cluster_id").alias("nl")
+                ),
+                "nbr",
+            )
+            .groupBy("doc")
+            .agg(F.min("nl").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "doc", "left")
+            .select(
+                "doc",
+                F.least(
+                    "cluster_id", F.coalesce("nbr_label", "cluster_id")
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = new_labels.join(
+            labels, ["doc", "cluster_id"], "left_anti"
+        )
+        labels = new_labels
+        if changed.isEmpty():
+            break
+    else:
+        raise RuntimeError(
+            f"neardup_clusters did not converge in {max_iterations} iterations"
+        )
+    return labels

@@ -352,3 +352,61 @@ def test_multimodal_pillow_parity(spark):
 
     r = resize_images(media, target_w=8, target_h=8, codec=resize).collect()[0]
     assert Image.open(BytesIO(bytes(r["resized"]))).size == (8, 8)
+
+
+@pytest.mark.spark
+def test_deterministic_sample_is_partition_invariant(spark):
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(2000)], "doc_id long, text string"
+    )
+    s1 = {r["doc_id"] for r in dd.deterministic_sample(docs, 0.25).collect()}
+    s8 = {
+        r["doc_id"]
+        for r in dd.deterministic_sample(docs.repartition(8), 0.25).collect()
+    }
+    assert s1 == s8  # membership is a pure function of the id
+    assert 0.15 < len(s1) / 2000 < 0.35  # roughly the asked fraction
+    # edges: 0 keeps nothing, 1 keeps everything
+    assert dd.deterministic_sample(docs, 0.0).count() == 0
+    assert dd.deterministic_sample(docs, 1.0).count() == 2000
+    with pytest.raises(ValueError):
+        dd.deterministic_sample(docs, 1.5)
+
+
+@pytest.mark.spark
+def test_neardup_clusters_matches_union_find(spark):
+    """Min-label propagation == classic union-find, including a long chain
+    (propagation must cross the whole component, not just one hop)."""
+    pairs = (
+        [(i, i + 1) for i in range(10, 20)]        # chain of 11 nodes
+        + [(100, 101), (101, 102), (100, 102)]     # triangle
+        + [(200, 300)]                              # simple pair
+    )
+    pdf = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    got = {
+        r["doc"]: r["cluster_id"] for r in dd.neardup_clusters(pdf).collect()
+    }
+
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        parent[find(a)] = find(b)
+
+    for a, b in pairs:
+        union(a, b)
+    comps: dict = {}
+    for n in parent:
+        comps.setdefault(find(n), []).append(n)
+    expect = {}
+    for members in comps.values():
+        m = min(members)
+        for n in members:
+            expect[n] = m
+    assert got == expect
