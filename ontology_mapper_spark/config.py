@@ -141,3 +141,13 @@ class MappingConfig:
             raise ValueError("min_score must be in [0, 1]")
         if self.max_mappings < 1:
             raise ValueError("max_mappings must be >= 1")
+        if (
+            self.inverted_index_min_labels is not None
+            and self.inverted_index_min_labels < 1
+        ):
+            # 0 would force the inverted plan on every run (limit(0) counts
+            # 0 >= 0), negatives die inside Spark's limit() — fail clearly
+            raise ValueError(
+                "inverted_index_min_labels must be >= 1 (or None to disable"
+                " the auto-fallback)"
+            )

@@ -361,8 +361,10 @@ def neardup_clusters(pairs: DataFrame, max_iterations: int = 50) -> DataFrame:
     current labels across the symmetrized edge set and takes the map-side-
     combined min per doc, converging in O(component diameter) rounds
     (near-dup clusters are shallow: diameter is small even when clusters
-    are large). localCheckpoint per round truncates the growing lineage,
-    same pattern as graph.ancestor_closure; cycle-safe by construction
+    are large). Lineage is truncated by localCheckpoint every third round
+    (not every round: only the newest labels relation is live, so frequent
+    checkpoints would pin superseded copies in block storage until the
+    ContextCleaner gets to them — r3 review); cycle-safe by construction
     (min-propagation is monotone)."""
     sym = (
         pairs.select(F.col("doc_a").alias("doc"), F.col("doc_b").alias("nbr"))
@@ -380,7 +382,7 @@ def neardup_clusters(pairs: DataFrame, max_iterations: int = 50) -> DataFrame:
         .select("doc", F.col("doc").alias("cluster_id"))
         .localCheckpoint()
     )
-    for _ in range(max_iterations):
+    for it in range(max_iterations):
         nbr_min = (
             sym.join(
                 labels.select(
@@ -391,16 +393,14 @@ def neardup_clusters(pairs: DataFrame, max_iterations: int = 50) -> DataFrame:
             .groupBy("doc")
             .agg(F.min("nl").alias("nbr_label"))
         )
-        new_labels = (
-            labels.join(nbr_min, "doc", "left")
-            .select(
-                "doc",
-                F.least(
-                    "cluster_id", F.coalesce("nbr_label", "cluster_id")
-                ).alias("cluster_id"),
-            )
-            .localCheckpoint()
+        new_labels = labels.join(nbr_min, "doc", "left").select(
+            "doc",
+            F.least(
+                "cluster_id", F.coalesce("nbr_label", "cluster_id")
+            ).alias("cluster_id"),
         )
+        if it % 3 == 2:
+            new_labels = new_labels.localCheckpoint()
         changed = new_labels.join(
             labels, ["doc", "cluster_id"], "left_anti"
         )

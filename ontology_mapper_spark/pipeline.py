@@ -132,13 +132,20 @@ def map_terms_df(
 
     to_map = post.filter_ignored(mentions)
     if cfg.mapper == Mapper.TFIDF:
-        # a prebuilt index proves the ontology is broadcast-sized; otherwise
-        # auto-fall back to the pure-DataFrame inverted-index plan past the
-        # label count where driver collect + broadcast stops being viable
-        # limit-bounded count: reads at most threshold rows, so probing a
-        # SNOMED/UMLS-scale dimension costs the same as a small one
+        # a prebuilt index proves the ontology is broadcast-sized; a
+        # caller-supplied whole-corpus IDF pins the broadcast plan too (the
+        # inverted plan computes IDF from ITS input, which would silently
+        # break the bucketed==unbucketed contract CheckpointedRun relies
+        # on). Otherwise auto-fall back to the pure-DataFrame inverted-
+        # index plan past the label count where driver collect + broadcast
+        # stops being viable. The probe is a limit-bounded count — reads at
+        # most threshold rows, so a SNOMED/UMLS-scale dimension costs the
+        # same as a small one; it IS an eager dimension-scale action (like
+        # the prefilter dispatch), disabled via
+        # inverted_index_min_labels=None.
         use_inverted = cfg.use_inverted_index or (
             tfidf_index is None
+            and tfidf_source_idf is None
             and cfg.inverted_index_min_labels is not None
             and labels.limit(cfg.inverted_index_min_labels).count()
             >= cfg.inverted_index_min_labels

@@ -337,3 +337,30 @@ def test_inverted_index_auto_fallback(spark, onto):
         ._jdf.queryExecution().optimizedPlan().toString()
     )
     assert "generate" not in p_idx.lower()
+
+
+@pytest.mark.spark
+def test_source_idf_pins_broadcast_plan_over_fallback(spark, onto):
+    """r3 review: a caller-supplied whole-corpus IDF must pin the broadcast
+    plan even past the inverted-index threshold — the inverted plan
+    computes IDF from ITS input, which would silently break the
+    bucketed==unbucketed contract CheckpointedRun relies on."""
+    import dataclasses
+
+    from ontology_mapper_spark.operators.tfidf import source_idf_map
+    from ontology_mapper_spark.pipeline import map_terms_df
+    from ontology_mapper_spark.sources.terms import mentions_from_list
+
+    m = mentions_from_list(spark, ["asthma"])
+    cfg = dataclasses.replace(
+        MappingConfig(max_mappings=1), inverted_index_min_labels=1
+    )
+    idf = source_idf_map(m)
+    p = (
+        map_terms_df(m, onto, cfg, tfidf_source_idf=idf)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "generate" not in p.lower()  # broadcast kernel, not the explode
+
+    with pytest.raises(ValueError, match="inverted_index_min_labels"):
+        dataclasses.replace(cfg, inverted_index_min_labels=0).validate()
