@@ -459,7 +459,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_pages_triples"] = kg_pages_triples
 
-    # ---------------- engine-only (no SQL oracle -> rows-only check)
+    # ---------------- ANN queries — both fully oracled since r2/r3
+    # (deterministic hyperplanes / trained centroids are replayed in the
+    # DuckDB SQL; see the lsh_ann_topk / ivf_ann_topk notes in oracle_sql)
 
     def lsh_ann_topk(spark, sf):
         e = _emb(spark, sf)
@@ -617,47 +619,48 @@ src_vec AS (
   FROM src_w w JOIN src_nrm n USING (source_term_id)
 ),
 {onto_sql},
+-- label docs keyed by the natural tuple (iri, is_synonym, name) — same
+-- tie-order the engine's LABEL_ORDER pins; no global row_number (mirrors
+-- the de-serialized inverted plan)
 lbl AS (
-  SELECT iri, name, display_label,
-         row_number() OVER (ORDER BY iri, is_synonym, name) - 1 AS label_id
-  FROM onto
+  SELECT iri, is_synonym, name, display_label FROM onto
 ),
 tgt_ng AS (
-  SELECT label_id, iri, display_label, substring(' ' || word || ' ', i, 3) AS ngram
+  SELECT iri, is_synonym, name, display_label, substring(' ' || word || ' ', i, 3) AS ngram
   FROM lbl,
        LATERAL unnest(string_split(lower(name), ' ')) AS w(word),
        LATERAL unnest(generate_series(1, length(word))) AS g(i)
   WHERE word <> ''
 ),
 tgt_tf AS (
-  SELECT label_id, iri, display_label, ngram, count(*)::DOUBLE AS tf
-  FROM tgt_ng GROUP BY 1, 2, 3, 4
+  SELECT iri, is_synonym, name, display_label, ngram, count(*)::DOUBLE AS tf
+  FROM tgt_ng GROUP BY 1, 2, 3, 4, 5
 ),
 tgt_idf AS (
   SELECT ngram, ln((1 + (SELECT count(*) FROM lbl)::DOUBLE) / (1 + count(*))) + 1 AS idf
   FROM tgt_tf GROUP BY ngram
 ),
 tgt_w AS (
-  SELECT t.label_id, t.iri, t.display_label, t.ngram, t.tf * i.idf AS w
+  SELECT t.iri, t.is_synonym, t.name, t.display_label, t.ngram, t.tf * i.idf AS w
   FROM tgt_tf t JOIN tgt_idf i USING (ngram)
 ),
-tgt_nrm AS (SELECT label_id, sqrt(sum(w * w)) AS nrm FROM tgt_w GROUP BY 1),
+tgt_nrm AS (SELECT iri, is_synonym, name, sqrt(sum(w * w)) AS nrm FROM tgt_w GROUP BY 1, 2, 3),
 tgt_vec AS (
-  SELECT w.label_id, w.iri, w.display_label, w.ngram, w.w / n.nrm AS wt
-  FROM tgt_w w JOIN tgt_nrm n USING (label_id)
+  SELECT w.iri, w.is_synonym, w.name, w.display_label, w.ngram, w.w / n.nrm AS wt
+  FROM tgt_w w JOIN tgt_nrm n USING (iri, is_synonym, name)
 ),
 scored AS (
-  SELECT s.source_term_id, m.source_term, t.label_id, t.iri, t.display_label,
+  SELECT s.source_term_id, m.source_term, t.iri, t.is_synonym, t.name, t.display_label,
          sum(s.ws * t.wt) AS score
   FROM src_vec s JOIN tgt_vec t USING (ngram) JOIN mentions m USING (source_term_id)
-  GROUP BY 1, 2, 3, 4, 5
+  GROUP BY 1, 2, 3, 4, 5, 6
   HAVING sum(s.ws * t.wt) >= {min_score}
 ),
 topn AS (
   -- rank on round(score, 9): cross-engine ulp-tie pin (labels identical
   -- after lowercasing tie exactly in the Spark kernel but differ ~1 ulp
   -- here due to summation order)
-  SELECT *, row_number() OVER (PARTITION BY source_term_id ORDER BY round(score, 9) DESC, label_id) AS rn
+  SELECT *, row_number() OVER (PARTITION BY source_term_id ORDER BY round(score, 9) DESC, iri, is_synonym, name) AS rn
   FROM scored QUALIFY rn <= {ntop}
 ),
 per_iri AS (

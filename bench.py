@@ -75,10 +75,11 @@ def _onto_table(spark):
 _ONTO_INDEX: list = []
 
 
-def kg_job(spark, n_pages: int) -> tuple[int, int]:
+def kg_job(spark, n_pages: int) -> int:
     """The headline pipeline: synthetic pages -> extract -> mentions ->
-    TF-IDF entity linking vs a 5k-term ontology -> triples. Returns
-    (n_mentions, n_triples); timing is the caller's job.
+    TF-IDF entity linking vs a 5k-term ontology -> triples. Returns the
+    triple count (mention counting lives in ``_mention_count``); timing is
+    the caller's job.
 
     Dimension prep (ontology parquet staging + TF-IDF index build) happens
     once per process, like a deployment amortizes it across batches via

@@ -90,6 +90,13 @@ class MappingConfig:
     # ~10^6 names (SNOMED/UMLS-scale; EFO's 75k stays broadcast). The
     # count comes from the dimension table only (metadata-scale action).
     inverted_index_min_labels: int = 1_000_000
+    postings_broadcast: bool = True  # inverted index: force-broadcast the
+    # target postings so the mention fact table is never shuffled for
+    # scoring. Postings are ~15 rows/label — a multi-million-label ontology
+    # is still a 1-2 GB broadcast, far cheaper than shuffling 10^12
+    # mentions x 15 grams on a skewed trigram key space. Set False only
+    # when postings genuinely exceed executor memory; the join then falls
+    # to AQE (shuffle on ngram + skew-join split + stop_ngram valve).
     stop_ngram_df_fraction: float | None = None  # inverted index: drop target
     # postings for n-grams present in more than this fraction of labels.
     # Their IDF is near zero, so they carry negligible score mass but cause
@@ -119,6 +126,9 @@ class MappingConfig:
     # transport(url, params, headers) -> parsed JSON (operators.api_mappers);
     # the offline engine refuses these mappers without one.
     api_transport: object = None
+    enable_network: bool = False  # explicit opt-in for the default
+    # requests-backed transport (api_mappers.RequestsTransport) when no
+    # api_transport is injected; the engine stays offline by default.
     api_ontologies: str = "all"  # comma-separated acronyms or 'all'
     bioportal_apikey: str = ""  # reference t2t.py:31-34 bioportal_apikey
     api_min_interval_sec: float = 0.0  # per-partition rate limit
@@ -127,13 +137,15 @@ class MappingConfig:
         if self.mapper not in Mapper.ALL:
             raise ValueError(f"Unsupported mapper: {self.mapper}")
         if self.mapper in {Mapper.ZOOMA, Mapper.BIOPORTAL} and (
-            self.api_transport is None
+            self.api_transport is None and not self.enable_network
         ):
             raise ValueError(
                 f"Mapper '{self.mapper}' calls a network annotator; this "
-                "offline engine requires cfg.api_transport — a picklable "
-                "transport(url, params, headers) callable (see "
-                "operators/api_mappers.py; SURVEY.md §2 S11/S12)."
+                "engine is offline by default — inject cfg.api_transport "
+                "(a picklable transport(url, params, headers) callable) or "
+                "set cfg.enable_network=True to use the default "
+                "requests-backed transport (see operators/api_mappers.py; "
+                "SURVEY.md §2 S11/S12)."
             )
         if self.term_type not in OntologyTermType.ALL:
             raise ValueError(f"Unsupported term_type: {self.term_type}")

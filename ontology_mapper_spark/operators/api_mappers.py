@@ -253,3 +253,73 @@ def bioportal_map(
             )
 
     return _apply_kernel(mentions, kernel, dedup=cfg.dedup_scoring is not False)
+
+
+class RequestsTransport:
+    """Default network transport — requests-backed, picklable, one
+    ``requests.Session`` per executor process (connection pooling across
+    the partition's call stream; the session is rebuilt after unpickling).
+
+    Wire behavior mirrors the reference mappers
+    (``zooma_mapper.py:26-33``, ``bioportal_mapper.py:78-87``): GET with
+    params/headers, JSON body returned parsed; HTTP 429 raises
+    :class:`ApiThrottleError` so the kernel's bounded exponential backoff
+    (``_call``) takes over — the reference sleeps 15 s and retries
+    unboundedly, which would pin an executor slot forever. Transient
+    transport failures (connection reset, DNS) retry ``max_retries``
+    times with a linear pause; other HTTP errors raise immediately.
+
+    The engine stays offline-by-default: this class is only instantiated
+    when ``cfg.enable_network`` is explicitly True (see
+    ``resolve_transport``); constructing it performs no I/O.
+    """
+
+    def __init__(self, timeout: float = 30.0, max_retries: int = 3,
+                 retry_pause_sec: float = 1.0):
+        self.timeout = timeout
+        self.max_retries = max_retries
+        self.retry_pause_sec = retry_pause_sec
+        self._session = None
+
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        state["_session"] = None  # sessions hold sockets — never pickled
+        return state
+
+    def _get_session(self):
+        if self._session is None:
+            import requests
+
+            self._session = requests.Session()
+        return self._session
+
+    def __call__(self, url: str, params: dict | None, headers: dict | None):
+        import requests
+
+        sess = self._get_session()
+        last_exc: Exception | None = None
+        for attempt in range(self.max_retries):
+            try:
+                resp = sess.get(
+                    url, params=params, headers=headers, timeout=self.timeout
+                )
+            except requests.RequestException as e:
+                last_exc = e
+                time.sleep(self.retry_pause_sec * (attempt + 1))
+                continue
+            if resp.status_code == 429:
+                raise ApiThrottleError(url)
+            resp.raise_for_status()
+            return resp.json()
+        raise last_exc  # type: ignore[misc]
+
+
+def resolve_transport(cfg: MappingConfig) -> Transport:
+    """The transport an API mapper run should use: an explicitly injected
+    ``cfg.api_transport`` wins; otherwise ``cfg.enable_network=True`` opts
+    in to the default :class:`RequestsTransport`. ``MappingConfig.validate``
+    has already rejected the remaining case (no transport, network not
+    enabled) with the offline-engine error."""
+    if cfg.api_transport is not None:
+        return cfg.api_transport  # type: ignore[return-value]
+    return RequestsTransport()

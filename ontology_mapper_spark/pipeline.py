@@ -161,15 +161,16 @@ def map_terms_df(
     elif cfg.mapper in (Mapper.ZOOMA, Mapper.BIOPORTAL):
         from ontology_mapper_spark.operators import api_mappers
 
+        transport = api_mappers.resolve_transport(cfg)
         if cfg.mapper == Mapper.ZOOMA:
             candidates = api_mappers.zooma_map(
-                to_map, cfg, cfg.api_transport,
+                to_map, cfg, transport,
                 ontologies=cfg.api_ontologies,
                 min_interval_sec=cfg.api_min_interval_sec,
             )
         else:
             candidates = api_mappers.bioportal_map(
-                to_map, cfg, cfg.api_transport,
+                to_map, cfg, transport,
                 ontologies=cfg.api_ontologies,
                 apikey=cfg.bioportal_apikey,
                 min_interval_sec=cfg.api_min_interval_sec,

@@ -33,22 +33,80 @@ from __future__ import annotations
 
 
 def _ancestors(parents: dict[str, set[str]]) -> dict[str, set[str]]:
-    """Transitive ancestors per node, cycle-safe (iterative DFS + memo)."""
+    """Transitive ancestors per node, cycle-CORRECT: strongly connected
+    components are condensed first (iterative Tarjan), then ancestor sets
+    propagate over the acyclic condensation. Every member of a cycle gets
+    the full set — including the cycle itself (A <-> B yields {A, B} for
+    both; merged/malformed ontologies assert such loops). The r3 DFS+memo
+    version cached PARTIAL sets for nodes finished while a cycle was still
+    open on the stack, silently losing subsumptions (r3 ADVICE #2).
+    Acyclic behavior is unchanged: a node's own IRI is not an ancestor
+    unless it sits on a cycle (incl. a self-loop)."""
+    nodes = set(parents)
+    for ps in parents.values():
+        nodes.update(ps)
+
+    # Tarjan, iterative (ontology hierarchies overflow Python recursion)
+    index: dict[str, int] = {}
+    low: dict[str, int] = {}
+    onstk: set[str] = set()
+    stk: list[str] = []
+    sccs: list[list[str]] = []
+    comp_of: dict[str, int] = {}
+    counter = 0
+    for root in nodes:
+        if root in index:
+            continue
+        index[root] = low[root] = counter
+        counter += 1
+        stk.append(root)
+        onstk.add(root)
+        work = [(root, iter(parents.get(root, ())))]
+        while work:
+            n, it = work[-1]
+            advanced = False
+            for p in it:
+                if p not in index:
+                    index[p] = low[p] = counter
+                    counter += 1
+                    stk.append(p)
+                    onstk.add(p)
+                    work.append((p, iter(parents.get(p, ()))))
+                    advanced = True
+                    break
+                if p in onstk:
+                    low[n] = min(low[n], index[p])
+            if not advanced:
+                work.pop()
+                if work:
+                    low[work[-1][0]] = min(low[work[-1][0]], low[n])
+                if low[n] == index[n]:
+                    comp = []
+                    while True:
+                        w = stk.pop()
+                        onstk.discard(w)
+                        comp.append(w)
+                        comp_of[w] = len(sccs)
+                        if w == n:
+                            break
+                    sccs.append(comp)
+
+    # Tarjan emits each SCC after every SCC it can reach — propagate
+    # ancestor sets in emission order over the condensation DAG
+    comp_anc: list[set[str]] = []
     anc: dict[str, set[str]] = {}
-
-    def walk(n: str) -> set[str]:
-        if n in anc:
-            return anc[n]
-        anc[n] = set()  # cycle guard: nodes on the current path see {}
-        out: set[str] = set()
-        for p in parents.get(n, ()):
-            out.add(p)
-            out |= walk(p)
-        anc[n] = out
-        return out
-
-    for n in list(parents):
-        walk(n)
+    for ci, comp in enumerate(sccs):
+        cyclic = len(comp) > 1 or any(n in parents.get(n, ()) for n in comp)
+        out: set[str] = set(comp) if cyclic else set()
+        for n in comp:
+            for p in parents.get(n, ()):
+                cj = comp_of[p]
+                if cj != ci:
+                    out.add(p)
+                    out |= comp_anc[cj]
+        comp_anc.append(out)
+        for n in comp:
+            anc[n] = out
     return anc
 
 

@@ -68,25 +68,32 @@ def mentions_from_dict(spark: SparkSession, tagged: dict) -> DataFrame:
     return spark.createDataFrame(rows, schema=MENTIONS_SCHEMA)
 
 
-# Most-recent persisted salted relation per SparkSession — the salt
-# assignment must be pinned across the two subtrees that consume it, and
-# Spark SQL's CacheManager keeps cached plans until explicitly unpersisted,
-# so exactly one slot stays live per session (r3 review: the cache leaked
-# for the session lifetime otherwise).
-_ACTIVE_SALTED: dict[int, DataFrame] = {}
+# Persisted salted relations per SparkSession, FIFO. The salt assignment
+# must stay pinned for as long as the DataFrame derived from it may be
+# re-evaluated — a single most-recent slot (r3 design) evicted the
+# previous call's pin even though its returned DataFrame could still be
+# live, reintroducing the duplicate/missing-ordinal hazard for
+# nondeterministically-ordered upstreams (r3 ADVICE). Each call now keeps
+# its own slot; ``release_ordinal_cache`` frees them, and a FIFO cap
+# bounds memory for callers that never release (only a caller juggling
+# more than _SALTED_CACHE_MAX live mention DataFrames concurrently can
+# see an early eviction, and then only on a nondeterministic upstream —
+# the shipped file/CSV scans replay deterministically regardless).
+_ACTIVE_SALTED: dict[int, list[DataFrame]] = {}
+_SALTED_CACHE_MAX = 16
 
 
 def release_ordinal_cache(spark=None) -> None:
-    """Unpersist the salted-ordinal relation cached by the last
-    ``mentions_from_file`` / ``mentions_from_csv`` call (or all sessions'
+    """Unpersist every salted-ordinal relation cached by prior
+    ``mentions_from_file`` / ``mentions_from_csv`` calls (or all sessions'
     when ``spark`` is None). Safe to call after the session stopped."""
     keys = [k for k in list(_ACTIVE_SALTED) if spark is None or k == id(spark)]
     for k in keys:
-        df = _ACTIVE_SALTED.pop(k)
-        try:
-            df.unpersist()
-        except Exception:
-            pass
+        for df in _ACTIVE_SALTED.pop(k):
+            try:
+                df.unpersist()
+            except Exception:
+                pass
 
 
 def _with_stable_ordinal(
@@ -149,13 +156,13 @@ def _with_stable_ordinal(
         ).cast("int"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
     sess = df.sparkSession
-    prev = _ACTIVE_SALTED.pop(id(sess), None)
-    if prev is not None:
+    slots = _ACTIVE_SALTED.setdefault(id(sess), [])
+    slots.append(salted)
+    while len(slots) > _SALTED_CACHE_MAX:
         try:
-            prev.unpersist()
+            slots.pop(0).unpersist()
         except Exception:
             pass
-    _ACTIVE_SALTED[id(sess)] = salted
     w_local = Window.partitionBy(term_col, "_salt").orderBy(term_col)
     local = salted.withColumn("_local", F.row_number().over(w_local) - 1)
     # offset(term, salt) = total count of the same term in LOWER salts;

@@ -193,3 +193,135 @@ def test_api_mapper_dedups_calls_cluster_wide(spark, tmp_path):
     # terms, so the per-partition plan must re-call across partitions — a
     # '>= 4' here would pass even if the opt-out were silently ignored
     assert len(os.listdir(calls_dir)) > 4
+
+
+# ---------------- default network transport (r3 VERDICT #3) ----------------
+
+
+def test_offline_default_still_refuses_api_mappers():
+    cfg = MappingConfig(mapper="zooma")
+    with pytest.raises(ValueError, match="enable_network"):
+        cfg.validate()
+
+
+def test_enable_network_resolves_default_transport():
+    from ontology_mapper_spark.operators.api_mappers import (
+        RequestsTransport,
+        resolve_transport,
+    )
+
+    cfg = MappingConfig(mapper="zooma", enable_network=True)
+    cfg.validate()  # no longer refused
+    t = resolve_transport(cfg)
+    assert isinstance(t, RequestsTransport)
+
+    # an injected transport always wins, even with networking enabled
+    mock = lambda url, params, headers: []
+    cfg2 = MappingConfig(
+        mapper="zooma", enable_network=True, api_transport=mock
+    )
+    assert resolve_transport(cfg2) is mock
+
+
+def test_requests_transport_wire_behavior(monkeypatch):
+    """429 -> ApiThrottleError (kernel backoff takes over); transient
+    connection errors retry; success returns parsed JSON; the session is
+    never pickled (executors rebuild their own)."""
+    import pickle
+
+    import requests
+
+    from ontology_mapper_spark.operators.api_mappers import (
+        ApiThrottleError,
+        RequestsTransport,
+    )
+
+    class FakeResp:
+        def __init__(self, code, body=None):
+            self.status_code = code
+            self._body = body
+
+        def raise_for_status(self):
+            if self.status_code >= 400:
+                raise requests.HTTPError(str(self.status_code))
+
+        def json(self):
+            return self._body
+
+    calls = []
+
+    class FakeSession:
+        def __init__(self, script):
+            self.script = list(script)
+
+        def get(self, url, params=None, headers=None, timeout=None):
+            calls.append((url, params, headers, timeout))
+            ev = self.script.pop(0)
+            if isinstance(ev, Exception):
+                raise ev
+            return ev
+
+    t = RequestsTransport(timeout=7.0, max_retries=3, retry_pause_sec=0.0)
+
+    # success after one transient failure
+    t._session = FakeSession(
+        [requests.ConnectionError("reset"), FakeResp(200, {"ok": 1})]
+    )
+    assert t("http://example.org/api", {"q": "x"}, None) == {"ok": 1}
+    assert calls[-1][3] == 7.0  # timeout plumbed through
+
+    # 429 surfaces as ApiThrottleError immediately (no internal retry —
+    # the kernel's bounded exponential backoff owns throttling)
+    t._session = FakeSession([FakeResp(429)])
+    with pytest.raises(ApiThrottleError):
+        t("http://example.org/api", None, None)
+
+    # other HTTP errors raise
+    t._session = FakeSession([FakeResp(500)])
+    with pytest.raises(requests.HTTPError):
+        t("http://example.org/api", None, None)
+
+    # exhausting retries re-raises the last transport error
+    t._session = FakeSession([requests.ConnectionError("a")] * 3)
+    with pytest.raises(requests.ConnectionError):
+        t("http://example.org/api", None, None)
+
+    # picklable, and the live session is dropped in transit
+    t2 = pickle.loads(pickle.dumps(t))
+    assert t2._session is None and t2.timeout == 7.0
+
+
+@pytest.mark.spark
+def test_pipeline_uses_resolved_transport(spark, monkeypatch):
+    """Integration wiring: with enable_network=True and no injected
+    transport, the pipeline must route calls through resolve_transport's
+    default — proven by substituting the default with a mock and seeing
+    its responses in the output mappings."""
+    from ontology_mapper_spark.operators import api_mappers
+    from ontology_mapper_spark.pipeline import map_terms_df
+    from ontology_mapper_spark.sources.ontology import fixture_onto_terms
+    from ontology_mapper_spark.sources.terms import mentions_from_dict
+
+    def fake_default():
+        def transport(url, params, headers):
+            return [
+                {
+                    "annotatedProperty": {"propertyValue": "Asthma"},
+                    "semanticTags": ["http://www.ebi.ac.uk/efo/EFO_0000270"],
+                    "confidence": "HIGH",
+                }
+            ]
+
+        return transport
+
+    monkeypatch.setattr(api_mappers, "RequestsTransport", fake_default)
+    mentions = mentions_from_dict(spark, {"asthma": None})
+    out = map_terms_df(
+        mentions,
+        fixture_onto_terms(spark),
+        MappingConfig(mapper="zooma", enable_network=True),
+    )
+    rows = out.collect()
+    assert len(rows) == 1
+    assert rows[0]["mapped_term_iri"] == "http://www.ebi.ac.uk/efo/EFO_0000270"
+    assert rows[0]["mapping_score"] == 1.0

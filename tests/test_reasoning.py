@@ -220,4 +220,36 @@ def test_classifier_scales_and_is_deterministic():
     a = classify_terms(build())
     elapsed = time.time() - t0
     assert elapsed < 30, f"classifier too slow: {elapsed:.1f}s"
-    assert a == classify_terms(build()) == 34575
+    # 34575 -> 34275 with the SCC-correct _ancestors: definition classes
+    # form 2-cycles with their named conjunct (C EquivalentTo N and N ⊑ C);
+    # the old partial ancestor sets failed to see c ∈ anc[x] inside such
+    # cycles and re-added 300 already-entailed edges. The entailed CLOSURE
+    # is unchanged-or-larger; only the count of explicit additions drops.
+    assert a == classify_terms(build()) == 34275
+
+
+def test_ancestors_cycles_get_full_sets():
+    """r3 ADVICE #2: the DFS+memo _ancestors cached partial sets for nodes
+    finishing while a cycle was open. SCC condensation must give every
+    cycle member the complete set regardless of traversal order."""
+    from ontology_mapper_spark.sources.reasoning import _ancestors
+
+    # two-cycle A <-> B with a tail C -> A and a head B -> D
+    anc = _ancestors({"A": {"B"}, "B": {"A", "D"}, "C": {"A"}, "D": set()})
+    assert anc["A"] == {"A", "B", "D"}
+    assert anc["B"] == {"A", "B", "D"}
+    assert anc["C"] == {"A", "B", "D"}
+    assert anc["D"] == set()
+
+    # self-loop includes the node itself
+    anc = _ancestors({"X": {"X", "Y"}, "Y": set()})
+    assert anc["X"] == {"X", "Y"}
+
+    # acyclic behavior unchanged: no self-membership, full transitivity
+    anc = _ancestors({"a": {"b"}, "b": {"c"}, "c": set()})
+    assert anc["a"] == {"b", "c"} and anc["b"] == {"c"} and anc["c"] == set()
+
+    # 3-cycle reached late (traversal-order independence)
+    anc = _ancestors({"p": {"q"}, "q": {"r"}, "r": {"p"}, "s": {"q"}})
+    assert anc["s"] == {"p", "q", "r"}
+    assert anc["p"] == anc["q"] == anc["r"] == {"p", "q", "r"}
