@@ -36,7 +36,10 @@ from ontology_mapper_spark.operators.similarity import (  # noqa: E402
     lsh_cosine_topk,
 )
 from ontology_mapper_spark.operators.syntactic import syntactic_map_sql  # noqa: E402
-from ontology_mapper_spark.operators.tfidf import tfidf_map_broadcast  # noqa: E402
+from ontology_mapper_spark.operators.tfidf import (  # noqa: E402
+    tfidf_map_broadcast,
+    tfidf_map_inverted_index,
+)
 from ontology_mapper_spark.sources.demo_ontology import (  # noqa: E402
     demo_onto_labels,
     demo_onto_values_sql,
@@ -102,6 +105,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
     q["tfidf_topk"] = _flagship
+
+    def tfidf_topk_inverted(spark, sf):
+        """Same mapping through the OTHER physical plan — the pure-
+        DataFrame inverted index the pipeline dispatches to past
+        inverted_index_min_labels. Oracled by the identical SQL as
+        tfidf_topk: both plans must be hash-exact twins."""
+        cfg = MappingConfig(min_score=0.3, max_mappings=3)
+        out = tfidf_map_inverted_index(
+            _mentions(spark, sf), demo_onto_labels(spark), cfg
+        )
+        return _score_milli(out).select(
+            "source_term_id", "source_term", "mapped_term_label",
+            "mapped_term_iri", "score_milli",
+        )
+
+    q["tfidf_topk_inverted"] = tfidf_topk_inverted
 
     def normalize_mentions(spark, sf):
         m = _mentions(spark, sf)
@@ -840,6 +859,8 @@ SELECT source_term_id, source_term, display_label AS mapped_term_label,
        iri AS mapped_term_iri, CAST(round(score * 1000) AS INT) AS score_milli
 FROM final"""
     )
+    # the inverted plan must produce the hash-identical result
+    o["tfidf_topk_inverted"] = o["tfidf_topk"]
 
     o["normalize_mentions"] = f"""WITH {_MENTIONS_CTE}
 SELECT source_term_id, source_term, {_norm_sql('source_term')} AS norm FROM mentions"""

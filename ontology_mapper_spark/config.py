@@ -84,12 +84,21 @@ class MappingConfig:
     # Engine-only scale knobs (no reference equivalent):
     use_inverted_index: bool = False  # False => broadcast-CSR mapInPandas path
     # Auto-fallback: above this label count the pipeline dispatches to the
-    # pure-DataFrame inverted-index plan even with use_inverted_index=False
-    # — the broadcast plan collects the label table to the driver and
-    # vectorizes it, which stops being broadcast-material somewhere past
-    # ~10^6 names (SNOMED/UMLS-scale; EFO's 75k stays broadcast). The
-    # count comes from the dimension table only (metadata-scale action).
-    inverted_index_min_labels: int = 1_000_000
+    # pure-DataFrame inverted-index plan even with use_inverted_index=False.
+    # Threshold raised 1M -> 4M in round 4 after benching both plans at a
+    # 1.2M-label dimension: for exact scoring, every label sharing >= 1
+    # n-gram with a mention is a candidate (~10^5 per mention against a
+    # SNOMED-scale, high-token-overlap terminology), and the kernel does
+    # those MACs as numpy scatter-adds against the broadcast CSR (~ms per
+    # mention), while the inverted plan materializes the same pairs as
+    # JVM aggregate rows — measured ~2 orders of magnitude more wall at
+    # 1.2M labels. The kernel's real ceiling is index memory: ~300 B/name
+    # (postings + iri/display arrays) => ~1.2 GB at 4M names, inside the
+    # default 8g driver/executor budget. Past it, the inverted plan is the
+    # only option; pair stop_ngram_df_fraction with it at high-overlap
+    # dimensions. The count probe reads the dimension table only
+    # (metadata-scale action).
+    inverted_index_min_labels: int = 4_000_000
     postings_broadcast: bool = True  # inverted index: force-broadcast the
     # target postings so the mention fact table is never shuffled for
     # scoring. Postings are ~15 rows/label — a multi-million-label ontology

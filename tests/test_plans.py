@@ -249,3 +249,27 @@ def test_single_task_window_detector_catches_global_row_number(spark):
         "rid", F.row_number().over(Window.orderBy("id"))
     )
     assert _single_task_window_stages(plan_str(df)), plan_str(df)
+
+
+@pytest.mark.spark
+def test_inverted_index_dedup_scoring_equivalent(spark):
+    """cfg.dedup_scoring on the inverted plan: score each DISTINCT mention
+    string once, join back by string — results identical to the per-row
+    plan at the engine's 9dp precision (IDF is occurrence-weighted, so the
+    full-corpus statistics are reproduced exactly)."""
+    from ontology_mapper_spark.operators.tfidf import tfidf_map_inverted_index
+
+    mentions = detect_mentions(synthesize_pages(spark, 60)).select(
+        "source_term_id", "source_term"
+    )
+    labels = onto_labels_df(
+        filter_terms_df(fixture_onto_terms(spark), term_type="class")
+    )
+    a = tfidf_map_inverted_index(mentions, labels, MappingConfig())
+    b = tfidf_map_inverted_index(
+        mentions, labels, MappingConfig(dedup_scoring=True)
+    )
+    r9 = lambda df: sorted(
+        (*t[:-1], round(t[-1], 9)) for t in map(tuple, df.collect())
+    )
+    assert r9(a) == r9(b)

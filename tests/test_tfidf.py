@@ -141,3 +141,41 @@ def test_high_threshold_yields_exact_match_only(spark):
     rows = _spark_rows(spark, cfg, tfidf_map_broadcast, terms=["asthma", "mojito"])
     assert {r["source_term"] for r in rows} == {"asthma"}
     assert all(r["mapping_score"] >= 0.99 for r in rows)
+
+
+@pytest.mark.spark
+def test_distributed_index_builder_equivalent(spark, monkeypatch):
+    """The Arrow/relational index builder (large-dimension path) must
+    produce an index that maps identically to the driver-side Python
+    builder at the engine's 9dp precision (weights can differ ~1 ulp from
+    JVM-vs-Python summation order)."""
+    from ontology_mapper_spark.operators import tfidf as t
+    from ontology_mapper_spark.sources.ontology import (
+        filter_terms_df,
+        fixture_onto_terms,
+        onto_labels_df,
+    )
+    from ontology_mapper_spark.sources.pages import (
+        detect_mentions,
+        synthesize_pages,
+    )
+
+    labels = onto_labels_df(
+        filter_terms_df(fixture_onto_terms(spark), term_type="class")
+    )
+    mentions = detect_mentions(synthesize_pages(spark, 40)).select(
+        "source_term_id", "source_term"
+    )
+    cfg = MappingConfig()
+    idx_py = t.build_target_index(labels)  # below threshold -> Python loop
+    monkeypatch.setattr(t, "_DISTRIBUTED_INDEX_MIN_LABELS", 1)
+    idx_dist = t.build_target_index(labels)
+    assert idx_dist.n_labels == idx_py.n_labels
+    assert list(idx_dist.iris) == list(idx_py.iris)
+    assert set(idx_dist.postings) == set(idx_py.postings)
+    a = t.tfidf_map_broadcast(mentions, labels, cfg, target_index=idx_py)
+    b = t.tfidf_map_broadcast(mentions, labels, cfg, target_index=idx_dist)
+    r9 = lambda df: sorted(
+        (*r[:-1], round(r[-1], 9)) for r in map(tuple, df.collect())
+    )
+    assert r9(a) == r9(b)

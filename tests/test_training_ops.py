@@ -410,3 +410,63 @@ def test_neardup_clusters_matches_union_find(spark):
         for n in members:
             expect[n] = m
     assert got == expect
+
+
+@pytest.mark.spark
+def test_ivf_precomputed_centroids_reused(spark):
+    """r3 VERDICT #5: the training-sample contract is executable — train
+    centroids ONCE (train_ivf_centroids) and reuse across calls; results
+    are identical to the per-call training path (same deterministic
+    sample), and a sample_table arg trains from a fixed relation instead
+    of the corpus."""
+    import numpy as np
+
+    from ontology_mapper_spark.operators.similarity import (
+        ivf_cosine_topk,
+        train_ivf_centroids,
+    )
+
+    rng = np.random.RandomState(7)
+    rows = [
+        (i, [float(x) for x in rng.randn(32)]) for i in range(200)
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+    cents = train_ivf_centroids(emb, n_lists=8, sample_size=128)
+    r_default = ivf_cosine_topk(
+        emb, queries, k=3, n_lists=8, n_probe=3, sample_size=128
+    )
+    r_reuse1 = ivf_cosine_topk(emb, queries, k=3, n_probe=3, centroids=cents)
+    r_reuse2 = ivf_cosine_topk(emb, queries, k=3, n_probe=3, centroids=cents)
+    rows_of = lambda df: sorted(
+        (r["query_id"], r["vec_id"], round(r["cosine"], 9), r["rk"])
+        for r in df.collect()
+    )
+    assert rows_of(r_default) == rows_of(r_reuse1) == rows_of(r_reuse2)
+
+    # sample_table path: training reads the fixed relation, not the corpus
+    sample_tbl = emb.filter(F.col("vec_id") < 128)
+    r_tbl = ivf_cosine_topk(
+        emb, queries, k=3, n_lists=8, n_probe=3, sample_size=128,
+        sample_table=sample_tbl,
+    )
+    assert rows_of(r_tbl) == rows_of(r_default)
+
+
+@pytest.mark.spark
+def test_neardup_clusters_deep_chain_logarithmic(spark):
+    """r3 VERDICT #6: pointer doubling bounds convergence at O(log
+    diameter). A 200-node chain must resolve well inside 12 rounds (the
+    pre-doubling propagation needed ~200 and raised the 50-iteration
+    guard), every node labeled with the chain's minimum."""
+    pairs = [(i, i + 1) for i in range(1000, 1200)]
+    pdf = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    got = {
+        r["doc"]: r["cluster_id"]
+        for r in dd.neardup_clusters(pdf, max_iterations=12).collect()
+    }
+    assert len(got) == 201
+    assert set(got.values()) == {1000}
