@@ -709,3 +709,42 @@ def tfidf_map_inverted_index(
             "mapping_score",
         )
     )
+
+
+_INDEX_CACHE_VERSION = 1
+
+
+def save_target_index(idx: _TargetIndex, path: str) -> None:
+    """Persist a built index to disk — the vectorized-artifact counterpart
+    of the reference's ontology pickle cache (``t2t.py:163-165``): a
+    deployment builds the index once per ontology snapshot (seconds to
+    minutes at SNOMED scale) and every subsequent job loads it in seconds.
+    Plain pickle of numpy arrays; the version field guards layout drift."""
+    import pickle
+
+    payload = {
+        "version": _INDEX_CACHE_VERSION,
+        "ngram_length": idx.ngram_length,
+        "iris": idx.iris,
+        "displays": idx.displays,
+        "postings": idx.postings,
+    }
+    with open(path, "wb") as f:
+        pickle.dump(payload, f, protocol=5)
+
+
+def load_target_index(path: str) -> _TargetIndex:
+    import pickle
+
+    with open(path, "rb") as f:
+        payload = pickle.load(f)
+    if payload.get("version") != _INDEX_CACHE_VERSION:
+        raise ValueError(
+            f"target-index cache at {path} has version "
+            f"{payload.get('version')!r}; this engine expects "
+            f"{_INDEX_CACHE_VERSION} — rebuild with build_target_index"
+        )
+    return _TargetIndex.from_arrays(
+        payload["iris"], payload["displays"], payload["postings"],
+        payload["ngram_length"],
+    )

@@ -137,12 +137,14 @@ def map_terms_df(
         # inverted plan computes IDF from ITS input, which would silently
         # break the bucketed==unbucketed contract CheckpointedRun relies
         # on). Otherwise auto-fall back to the pure-DataFrame inverted-
-        # index plan past the label count where driver collect + broadcast
-        # stops being viable. The probe is a limit-bounded count — reads at
-        # most threshold rows, so a SNOMED/UMLS-scale dimension costs the
-        # same as a small one; it IS an eager dimension-scale action (like
-        # the prefilter dispatch), disabled via
-        # inverted_index_min_labels=None.
+        # index plan past the label count where the index outgrows
+        # driver/executor MEMORY (~300 B/name; see the r4 measurement in
+        # config.inverted_index_min_labels — the kernel beats the inverted
+        # plan by ~30x core-time at every dimension that fits). The probe
+        # is a limit-bounded count — reads at most threshold rows, so a
+        # SNOMED/UMLS-scale dimension costs the same as a small one; it IS
+        # an eager dimension-scale action (like the prefilter dispatch),
+        # disabled via inverted_index_min_labels=None.
         use_inverted = cfg.use_inverted_index or (
             tfidf_index is None
             and tfidf_source_idf is None

@@ -179,3 +179,47 @@ def test_distributed_index_builder_equivalent(spark, monkeypatch):
         (*r[:-1], round(r[-1], 9)) for r in map(tuple, df.collect())
     )
     assert r9(a) == r9(b)
+
+
+@pytest.mark.spark
+def test_target_index_disk_cache_roundtrip(spark, tmp_path):
+    """save/load_target_index: the vectorized-artifact counterpart of the
+    reference's ontology pickle cache — a loaded index must map exactly
+    like the one it was saved from, and a version mismatch fails loudly."""
+    from ontology_mapper_spark.operators import tfidf as t
+    from ontology_mapper_spark.sources.ontology import (
+        filter_terms_df,
+        fixture_onto_terms,
+        onto_labels_df,
+    )
+    from ontology_mapper_spark.sources.pages import (
+        detect_mentions,
+        synthesize_pages,
+    )
+
+    labels = onto_labels_df(
+        filter_terms_df(fixture_onto_terms(spark), term_type="class")
+    )
+    idx = t.build_target_index(labels)
+    path = str(tmp_path / "efo.tindex")
+    t.save_target_index(idx, path)
+    idx2 = t.load_target_index(path)
+    assert idx2.n_labels == idx.n_labels
+    assert idx2.ngram_length == idx.ngram_length
+    mentions = detect_mentions(synthesize_pages(spark, 30)).select(
+        "source_term_id", "source_term"
+    )
+    cfg = MappingConfig()
+    a = t.tfidf_map_broadcast(mentions, labels, cfg, target_index=idx)
+    b = t.tfidf_map_broadcast(mentions, labels, cfg, target_index=idx2)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+    import pickle
+
+    with open(path, "rb") as f:
+        payload = pickle.load(f)
+    payload["version"] = 999
+    with open(path, "wb") as f:
+        pickle.dump(payload, f)
+    with pytest.raises(ValueError, match="version"):
+        t.load_target_index(path)
