@@ -260,9 +260,13 @@ def _bigdim_run(n_terms: int, n_pages: int) -> None:
 
     labels = onto_labels_df(filter_terms_df(onto, term_type="class"))
     n_labels = labels.count()  # untimed
+    # localCheckpoint (eager): materialize the synthesized corpus BEFORE
+    # any clock starts, so both plan measurements time mapping work only —
+    # the kernel must not absorb page-synthesis/extraction cost its
+    # comparator was spared (r4 review finding #3)
     mentions = detect_mentions(
         extract_text(_bench_pages(spark, n_pages)), langs=("en",)
-    )
+    ).localCheckpoint()
     n_mentions = mentions.count()  # untimed
     cfg = MappingConfig(min_score=0.3, max_mappings=3, dedup_scoring=True)
 
@@ -479,9 +483,18 @@ def main() -> None:
     out = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--bigdim-run",
          str(big_terms), str(big_pages)],
-        capture_output=True, text=True, check=True, env=env,
+        capture_output=True, text=True, env=env,
     )
-    results["bigdim_1m"] = json.loads(out.stdout.strip().splitlines()[-1])
+    try:
+        results["bigdim_1m"] = json.loads(out.stdout.strip().splitlines()[-1])
+    except (json.JSONDecodeError, IndexError):
+        # a bigdim failure (host too small for the 24g subprocess, OOM)
+        # must not discard the suite/scaling results already measured, and
+        # its stderr tail is the only diagnostic — surface both
+        results["bigdim_1m"] = {
+            "error": f"bigdim subprocess rc={out.returncode}",
+            "stderr_tail": out.stderr[-2000:],
+        }
     results["metric"] = "suite_sec"
     results["value"] = round(sum(times.values()), 3)
     print(json.dumps(results))

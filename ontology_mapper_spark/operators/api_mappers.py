@@ -281,6 +281,8 @@ class RequestsTransport:
 
     def __init__(self, timeout: float = 30.0, max_retries: int = 3,
                  retry_pause_sec: float = 1.0):
+        if max_retries < 1:
+            raise ValueError("max_retries must be >= 1")
         self.timeout = timeout
         self.max_retries = max_retries
         self.retry_pause_sec = retry_pause_sec
@@ -310,7 +312,8 @@ class RequestsTransport:
                 )
             except requests.RequestException as e:
                 last_exc = e
-                time.sleep(self.retry_pause_sec * (attempt + 1))
+                if attempt + 1 < self.max_retries:  # no pause after last try
+                    time.sleep(self.retry_pause_sec * (attempt + 1))
                 continue
             if resp.status_code == 429:
                 raise ApiThrottleError(url)

@@ -281,8 +281,41 @@ def target_postings_df(onto_labels: DataFrame) -> DataFrame:
 _DISTRIBUTED_INDEX_MIN_LABELS = 100_000
 
 
+def _parse_size(s: str) -> int:
+    """Spark size string ('1g', '512m', '2048', '1024k') -> bytes; 0 for
+    unlimited/unparseable (maxResultSize=0 means no limit)."""
+    try:
+        s = str(s).strip().lower()
+        mult = {"k": 2**10, "m": 2**20, "g": 2**30, "t": 2**40}
+        if s and s[-1] in mult:
+            return int(float(s[:-1]) * mult[s[-1]])
+        if s.endswith("b") and len(s) >= 2 and s[-2] in mult:
+            return int(float(s[:-2]) * mult[s[-2]])
+        return int(s)
+    except (ValueError, IndexError):
+        return 0
+
+
 def build_target_index(
     onto_labels: DataFrame, ngram_length: int = 3
+) -> _TargetIndex:
+    # one lineage pass: the label relation may sit on an expensive
+    # upstream (OWL parse + filters) and the large-dimension path below
+    # collects it twice (ordered attributes, then postings) — persist so
+    # the upstream runs once (r4 review finding #6); released before
+    # returning
+    onto_labels = onto_labels.persist()
+    try:
+        return _build_target_index_inner(onto_labels, ngram_length)
+    finally:
+        try:
+            onto_labels.unpersist()
+        except Exception:
+            pass
+
+
+def _build_target_index_inner(
+    onto_labels: DataFrame, ngram_length: int
 ) -> _TargetIndex:
     # ordered collect — Spark range-sorts in parallel and the driver
     # receives partitions in order; no global row_number window needed
@@ -301,6 +334,26 @@ def build_target_index(
         return _TargetIndex(
             list(zip(pdf["name"], pdf["iri"], pdf["display_label"])),
             ngram_length,
+        )
+    # Pre-flight: the postings collect moves ~15 rows x ~40 B per label
+    # through driver task results, which spark.driver.maxResultSize caps
+    # (1 GiB stock). Failing that limit mid-collect is an opaque
+    # SparkException after minutes of work — check up front and say
+    # exactly which knob to turn (r4 review finding #2: raising the
+    # dispatch threshold must not convert working 1-4M-label jobs into
+    # obscure crashes).
+    spark = onto_labels.sparkSession
+    est_bytes = len(pdf) * 15 * 40
+    max_rs = spark.conf.get("spark.driver.maxResultSize", "1g")
+    max_rs_bytes = _parse_size(max_rs)
+    if max_rs_bytes and est_bytes > 0.8 * max_rs_bytes:
+        raise ValueError(
+            f"build_target_index: collecting postings for {len(pdf):,} "
+            f"labels needs ~{est_bytes / 2**20:.0f} MiB of driver task "
+            f"results, near/above spark.driver.maxResultSize={max_rs}. "
+            "Set spark.driver.maxResultSize (e.g. '8g') and size "
+            "spark.driver.memory accordingly, or keep the inverted plan "
+            "(cfg.use_inverted_index=True) for this dimension."
         )
     post_pdf = target_postings_df(onto_labels).toPandas()
     key = pd.DataFrame(
@@ -663,8 +716,14 @@ def tfidf_map_inverted_index(
         .filter(F.col("mapping_score") >= cfg.min_score)
     )
     # attributes rejoin AFTER the aggregate + min_score cut — the candidate
-    # stream stays longs until it is top-k-sized
-    scored = scored_narrow.join(F.broadcast(lbl_dim), ["lk1", "lk2"])
+    # stream stays longs until it is top-k-sized. The dimension join obeys
+    # the same valve as the postings: when the caller declared the ontology
+    # beyond broadcast (postings_broadcast=False), its attribute table is
+    # even wider per row than a posting, so forcing a broadcast here would
+    # reinstate exactly the memory wall the valve exists for (r4 review
+    # finding #1) — AQE plans it instead.
+    dim_side = F.broadcast(lbl_dim) if cfg.postings_broadcast else lbl_dim
+    scored = scored_narrow.join(dim_side, ["lk1", "lk2"])
     # rank on round(score, 9): cross-engine ulp-tie pin (see _score_one);
     # ties resolve by the lexicographic label tuple — the same order the
     # broadcast plan's dense ids encode

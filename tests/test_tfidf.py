@@ -223,3 +223,43 @@ def test_target_index_disk_cache_roundtrip(spark, tmp_path):
         pickle.dump(payload, f)
     with pytest.raises(ValueError, match="version"):
         t.load_target_index(path)
+
+
+def test_parse_size_spark_strings():
+    from ontology_mapper_spark.operators.tfidf import _parse_size
+
+    assert _parse_size("1g") == 2**30
+    assert _parse_size("512m") == 512 * 2**20
+    assert _parse_size("2048k") == 2048 * 2**10
+    assert _parse_size("4096") == 4096
+    assert _parse_size("1gb") == 2**30
+    assert _parse_size("0") == 0  # unlimited
+    assert _parse_size("garbage") == 0
+
+
+@pytest.mark.spark
+def test_distributed_index_preflights_max_result_size(spark, monkeypatch):
+    """r4 review finding #2: a dimension whose postings collect would
+    exceed spark.driver.maxResultSize must fail UP FRONT with the knob
+    named, not minutes in with an opaque SparkException."""
+    from ontology_mapper_spark.operators import tfidf as t
+    from ontology_mapper_spark.sources.ontology import (
+        filter_terms_df,
+        fixture_onto_terms,
+        onto_labels_df,
+    )
+
+    labels = onto_labels_df(
+        filter_terms_df(fixture_onto_terms(spark), term_type="class")
+    )
+    monkeypatch.setattr(t, "_DISTRIBUTED_INDEX_MIN_LABELS", 1)
+    monkeypatch.setattr(t, "_parse_size", lambda s: 10)  # pretend 10-byte cap
+    with pytest.raises(ValueError, match="maxResultSize"):
+        t.build_target_index(labels)
+
+
+def test_requests_transport_rejects_zero_retries():
+    from ontology_mapper_spark.operators.api_mappers import RequestsTransport
+
+    with pytest.raises(ValueError, match="max_retries"):
+        RequestsTransport(max_retries=0)
