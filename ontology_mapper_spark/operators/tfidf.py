@@ -18,12 +18,17 @@ Two physically different plans, identical results (tests assert equality):
   map-side). Scoring itself is embarrassingly parallel — linear scale-out.
 
 - ``tfidf_map_inverted_index`` — pure DataFrame/Catalyst plan (broadcast
-  ngram-postings equi-join + hash aggregate + window top-k). SQL-expressible
-  (DuckDB oracle parity) and the fallback when the ontology outgrows a
-  broadcast. One shuffle: the (mention, label) score aggregate; skew on
-  stop-ngrams is handled by AQE skew-join + the fact that near-zero-IDF
-  postings contribute negligible score mass (and the optional
-  ``stop_ngram_df_fraction`` valve drops them outright).
+  ngram-postings equi-join + hash aggregate on hashed label keys + window
+  top-k; optional dedup scoring with occurrence-weighted exact IDF).
+  SQL-expressible (DuckDB oracle parity) and the fallback when the
+  ontology outgrows the KERNEL INDEX's memory (~4M names — see
+  config.inverted_index_min_labels for the measured regime analysis; at
+  every dimension that fits, the kernel is ~2 orders of magnitude less
+  core-time). One shuffle: the (mention, label) score aggregate; skew on
+  stop-ngrams is handled by AQE skew-join + the ``stop_ngram_df_fraction``
+  valve — tune the valve against the dimension's gram-df curve (measured:
+  0.2 = hub grams only = P/R 1.0 here; 0.01 cut signal grams, P/R
+  collapsed).
 
 Deliberate deviation from the reference: ``_get_mappings``
 (``tfidf_mapper.py:68-73``) shares its per-term IRI budget across
@@ -778,7 +783,10 @@ def save_target_index(idx: _TargetIndex, path: str) -> None:
     of the reference's ontology pickle cache (``t2t.py:163-165``): a
     deployment builds the index once per ontology snapshot (seconds to
     minutes at SNOMED scale) and every subsequent job loads it in seconds.
-    Plain pickle of numpy arrays; the version field guards layout drift."""
+    Plain pickle of numpy arrays; the version field guards layout drift.
+    ``path`` is a DRIVER-LOCAL file (the index is a driver-side artifact,
+    broadcast from there) — on a cluster, stage it via an object store /
+    ``spark-submit --files`` and load from the driver's local copy."""
     import pickle
 
     payload = {
