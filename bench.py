@@ -279,7 +279,7 @@ def _bigdim_run(n_terms: int, n_pages: int) -> None:
     t_kernel = time.time() - t0
 
     # inverted plan, bounded distinct-mention subset (deterministic)
-    sub_n = int(os.environ.get("BENCH_BIGDIM_INV_MENTIONS", "100"))
+    sub_n = int(os.environ.get("BENCH_BIGDIM_INV_MENTIONS", "50"))
     sub = (
         mentions.select("source_term").distinct().orderBy("source_term")
         .limit(sub_n)
@@ -477,8 +477,8 @@ def main() -> None:
     # (`--bigdim-run 800000 40000`) is recorded in BASELINE.md. Subprocess:
     # the index/postings broadcasts need a bigger driver heap than the
     # suite session.
-    big_terms = int(os.environ.get("BENCH_BIGDIM_TERMS", "400000"))
-    big_pages = int(os.environ.get("BENCH_BIGDIM_PAGES", "20000"))
+    big_terms = int(os.environ.get("BENCH_BIGDIM_TERMS", "200000"))
+    big_pages = int(os.environ.get("BENCH_BIGDIM_PAGES", "10000"))
     env = dict(os.environ, SPARK_DRIVER_MEM="24g")
     out = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--bigdim-run",

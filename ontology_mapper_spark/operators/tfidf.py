@@ -348,7 +348,9 @@ def _build_target_index_inner(
     # dispatch threshold must not convert working 1-4M-label jobs into
     # obscure crashes).
     spark = onto_labels.sparkSession
-    est_bytes = len(pdf) * 15 * 40
+    # measured: ~24 distinct (label, ngram) posting rows per label name on
+    # the bench dimension, ~40 B/row through Arrow task results
+    est_bytes = len(pdf) * 24 * 40
     max_rs = spark.conf.get("spark.driver.maxResultSize", "1g")
     max_rs_bytes = _parse_size(max_rs)
     if max_rs_bytes and est_bytes > 0.8 * max_rs_bytes:
