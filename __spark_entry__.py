@@ -485,21 +485,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         tfidf_topk, making 'bucketed == unbucketed' a driver-checked
         invariant rather than pytest-only (the one surface the r3 judge
         noted had no oracle row)."""
+        import shutil
         import tempfile
 
         from ontology_mapper_spark.checkpoints import CheckpointedRun
-        from ontology_mapper_spark.operators.tfidf import source_idf_map
+        from ontology_mapper_spark.operators.tfidf import (
+            build_target_index,
+            source_idf_map,
+        )
 
-        out_dir = tempfile.mkdtemp(prefix="gate_ckpt_")
+        # fixed dir, cleared up front: a fresh mkdtemp per invocation
+        # would both leak parquet under /tmp across gate runs AND let a
+        # stale run's completed-bucket lineage skip work
+        out_dir = os.path.join(tempfile.gettempdir(), "omspark_gate_ckpt")
+        shutil.rmtree(out_dir, ignore_errors=True)
         mentions = _mentions(spark, sf)
         labels = demo_onto_labels(spark)
         cfg = MappingConfig(min_score=0.3, max_mappings=3)
+        # index built ONCE and shared across buckets — the amortization
+        # tfidf_map_broadcast's docstring prescribes for checkpoint runs
+        idx = build_target_index(labels, cfg.ngram_length)
         run = CheckpointedRun(spark, out_dir, n_buckets=4)
         out = run.run(
             mentions,
             key="source_term_id",
             build_fn=lambda subset, state: tfidf_map_broadcast(
-                subset, labels, cfg, source_idf=state
+                subset, labels, cfg, source_idf=state, target_index=idx
             ),
             score_col="mapping_score",
             prepare_fn=lambda full: source_idf_map(full, cfg.ngram_length),

@@ -288,6 +288,9 @@ def _bigdim_run(n_terms: int, n_pages: int) -> None:
         )
         .localCheckpoint()
     )
+    sub_n = sub.count()  # actual rows — a small corpus may have fewer
+    # distinct mentions than requested; dividing by the request would
+    # overstate the plan's speed (r4 review round 2 finding #4)
     # Valve at 0.2 — the measured QUALITY-PRESERVING setting on this
     # corpus: it drops only the true hub grams (qualifier tokens present
     # in >20% of labels, IDF ~ ln(5)+1) and measured P=R=1.000 vs exact

@@ -304,64 +304,88 @@ def _parse_size(s: str) -> int:
 def build_target_index(
     onto_labels: DataFrame, ngram_length: int = 3
 ) -> _TargetIndex:
-    # one lineage pass: the label relation may sit on an expensive
-    # upstream (OWL parse + filters) and the large-dimension path below
-    # collects it twice (ordered attributes, then postings) — persist so
-    # the upstream runs once (r4 review finding #6); released before
-    # returning
-    onto_labels = onto_labels.persist()
-    try:
-        return _build_target_index_inner(onto_labels, ngram_length)
-    finally:
-        try:
-            onto_labels.unpersist()
-        except Exception:
-            pass
-
-
-def _build_target_index_inner(
-    onto_labels: DataFrame, ngram_length: int
-) -> _TargetIndex:
-    # ordered collect — Spark range-sorts in parallel and the driver
-    # receives partitions in order; no global row_number window needed
-    ordered = onto_labels.select(
-        "name", "iri", "display_label", "is_synonym", *_label_key_cols()
-    ).orderBy(*LABEL_ORDER)
-    pdf = ordered.toPandas()
-    if len(pdf) < _DISTRIBUTED_INDEX_MIN_LABELS:
-        return _TargetIndex(
-            list(zip(pdf["name"], pdf["iri"], pdf["display_label"])),
-            ngram_length,
-        )
-    if ngram_length != 3:
+    """Build the broadcastable CSR index. Small/non-trigram dimensions
+    take the single-collect driver-side path; past
+    ``_DISTRIBUTED_INDEX_MIN_LABELS`` the postings are computed as a Spark
+    relation and assembled with Arrow + vectorized pandas/numpy. The
+    large path pre-flights BOTH driver collects against
+    spark.driver.maxResultSize BEFORE any collect runs (a mid-collect
+    rejection after the full upstream has executed is the opaque failure
+    this guard exists to replace), persists the label relation across its
+    two passes (released on exit — unless the CALLER already persisted it,
+    in which case their cache is left untouched)."""
+    n_labels = onto_labels.count()  # dimension-scale action
+    if n_labels < _DISTRIBUTED_INDEX_MIN_LABELS or ngram_length != 3:
         # char_wb_ngrams_col is the 3-gram oracle-parity expression; other
         # gram sizes stay on the (slower) driver-side builder
+        rows = (
+            onto_labels.select("name", "iri", "display_label", "is_synonym")
+            .orderBy(*LABEL_ORDER)
+            .collect()
+        )
         return _TargetIndex(
-            list(zip(pdf["name"], pdf["iri"], pdf["display_label"])),
+            [(r["name"], r["iri"], r["display_label"]) for r in rows],
             ngram_length,
         )
-    # Pre-flight: the postings collect moves ~15 rows x ~40 B per label
-    # through driver task results, which spark.driver.maxResultSize caps
-    # (1 GiB stock). Failing that limit mid-collect is an opaque
-    # SparkException after minutes of work — check up front and say
-    # exactly which knob to turn (r4 review finding #2: raising the
-    # dispatch threshold must not convert working 1-4M-label jobs into
-    # obscure crashes).
+    # Pre-flight: the attribute collect moves ~300 B/label and the
+    # postings collect ~24 posting rows x ~40 B per label (measured on the
+    # bench dimension) through driver task results, which
+    # spark.driver.maxResultSize caps (1 GiB stock; get_spark sets 4g).
+    # Raise only when the estimate exceeds the cap itself; warn inside a
+    # 20% margin (the estimate is approximate — a hard 0.8 cutoff would
+    # reject jobs that fit, r4 review round 2 finding #1).
     spark = onto_labels.sparkSession
-    # measured: ~24 distinct (label, ngram) posting rows per label name on
-    # the bench dimension, ~40 B/row through Arrow task results
-    est_bytes = len(pdf) * 24 * 40
+    est_bytes = max(n_labels * 24 * 40, n_labels * 300)
     max_rs = spark.conf.get("spark.driver.maxResultSize", "1g")
     max_rs_bytes = _parse_size(max_rs)
-    if max_rs_bytes and est_bytes > 0.8 * max_rs_bytes:
+    if max_rs_bytes and est_bytes > max_rs_bytes:
         raise ValueError(
-            f"build_target_index: collecting postings for {len(pdf):,} "
+            f"build_target_index: collecting the index for {n_labels:,} "
             f"labels needs ~{est_bytes / 2**20:.0f} MiB of driver task "
-            f"results, near/above spark.driver.maxResultSize={max_rs}. "
+            f"results, above spark.driver.maxResultSize={max_rs}. "
             "Set spark.driver.maxResultSize (e.g. '8g') and size "
             "spark.driver.memory accordingly, or keep the inverted plan "
             "(cfg.use_inverted_index=True) for this dimension."
         )
+    if max_rs_bytes and est_bytes > 0.8 * max_rs_bytes:
+        import warnings
+
+        warnings.warn(
+            f"build_target_index: estimated index collect "
+            f"(~{est_bytes / 2**20:.0f} MiB for {n_labels:,} labels) is "
+            f"within 20% of spark.driver.maxResultSize={max_rs}; consider "
+            "raising it.",
+            stacklevel=2,
+        )
+    # one lineage pass for the two collects below; respect a cache the
+    # caller already established (unpersisting it would silently drop
+    # their cache entry and force an upstream recompute on THEIR next use)
+    lvl = onto_labels.storageLevel
+    caller_persisted = lvl.useMemory or lvl.useDisk
+    if not caller_persisted:
+        onto_labels = onto_labels.persist()
+    try:
+        return _build_target_index_large(onto_labels, ngram_length)
+    finally:
+        if not caller_persisted:
+            try:
+                onto_labels.unpersist()
+            except Exception:
+                pass
+
+
+def _build_target_index_large(
+    onto_labels: DataFrame, ngram_length: int
+) -> _TargetIndex:
+    # ordered collect — Spark range-sorts in parallel and the driver
+    # receives partitions in order; no global row_number window needed
+    pdf = (
+        onto_labels.select(
+            "name", "iri", "display_label", "is_synonym", *_label_key_cols()
+        )
+        .orderBy(*LABEL_ORDER)
+        .toPandas()
+    )
     post_pdf = target_postings_df(onto_labels).toPandas()
     key = pd.DataFrame(
         {
