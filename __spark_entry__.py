@@ -78,6 +78,37 @@ def _score_milli(df: DataFrame, col: str = "mapping_score") -> DataFrame:
     )
 
 
+def _gate_ckpt_dir(name: str) -> str:
+    """Per-process scratch dir for the checkpoint-surface gate queries.
+
+    Three constraints: the dir must outlive the query function (the
+    returned DataFrame reads the materialized bucket parquet lazily, so
+    it cannot be deleted before the harness collects); it must start
+    empty (a stale run's completed-bucket lineage would skip work); and
+    it must not be shared with a concurrent harness process running the
+    same query — observed live: pytest's smoke test and
+    tools/check_entry rmtree-ing each other's buckets mid-run through a
+    shared fixed path (checkpointed_tfidf read 940/1241 rows). PID
+    scoping gives each process its own dir; siblings whose owning
+    process is dead are swept best-effort so /tmp does not accrue
+    parquet across gate runs."""
+    import glob
+    import shutil
+    import tempfile
+
+    base = tempfile.gettempdir()
+    for d in glob.glob(os.path.join(base, f"{name}_pid*")):
+        try:
+            os.kill(int(d.rsplit("_pid", 1)[1]), 0)
+        except (ValueError, ProcessLookupError):
+            shutil.rmtree(d, ignore_errors=True)
+        except PermissionError:
+            pass  # pid exists under another uid — leave it alone
+    out = os.path.join(base, f"{name}_pid{os.getpid()}")
+    shutil.rmtree(out, ignore_errors=True)
+    return out
+
+
 def _flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     cfg = MappingConfig(min_score=0.3, max_mappings=3)
     out = tfidf_map_broadcast(
@@ -269,7 +300,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def minhash_sigs(spark, sf):
         s = dd.minhash_signatures(_docs(spark, sf), num_hashes=16, k=3)
-        return s.select("doc", F.array_join("sig", "|").alias("sig"))
+        return s.select(
+            "doc",
+            F.array_join(
+                F.transform("sig", lambda h: h.cast("string")), "|"
+            ).alias("sig"),
+        )
 
     q["minhash_signatures"] = minhash_sigs
 
@@ -485,20 +521,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         tfidf_topk, making 'bucketed == unbucketed' a driver-checked
         invariant rather than pytest-only (the one surface the r3 judge
         noted had no oracle row)."""
-        import shutil
-        import tempfile
-
         from ontology_mapper_spark.checkpoints import CheckpointedRun
         from ontology_mapper_spark.operators.tfidf import (
             build_target_index,
             source_idf_map,
         )
 
-        # fixed dir, cleared up front: a fresh mkdtemp per invocation
-        # would both leak parquet under /tmp across gate runs AND let a
-        # stale run's completed-bucket lineage skip work
-        out_dir = os.path.join(tempfile.gettempdir(), "omspark_gate_ckpt")
-        shutil.rmtree(out_dir, ignore_errors=True)
+        out_dir = _gate_ckpt_dir("omspark_gate_ckpt")
         mentions = _mentions(spark, sf)
         labels = demo_onto_labels(spark)
         cfg = MappingConfig(min_score=0.3, max_mappings=3)
@@ -521,6 +550,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["checkpointed_tfidf"] = checkpointed_tfidf
+
+    def checkpoint_score_metrics(spark, sf):
+        """The score-distribution METRICS surface (north_rule: lineage +
+        metrics): the same 4-bucket checkpointed mapping as
+        checkpointed_tfidf, but what's returned is the PERSISTED _metrics
+        decile histogram read back through CheckpointedRun.score_metrics()
+        and aggregated across buckets — oracled by recomputing the
+        histogram from the reference SQL pipeline's final relation. Proves
+        the monitoring artifact itself, not just the data files."""
+        from ontology_mapper_spark.checkpoints import CheckpointedRun
+        from ontology_mapper_spark.operators.tfidf import (
+            build_target_index,
+            source_idf_map,
+        )
+
+        out_dir = _gate_ckpt_dir("omspark_gate_ckpt_metrics")
+        mentions = _mentions(spark, sf)
+        labels = demo_onto_labels(spark)
+        cfg = MappingConfig(min_score=0.3, max_mappings=3)
+        idx = build_target_index(labels, cfg.ngram_length)
+        run = CheckpointedRun(spark, out_dir, n_buckets=4)
+        run.run(
+            mentions,
+            key="source_term_id",
+            build_fn=lambda subset, state: tfidf_map_broadcast(
+                subset, labels, cfg, source_idf=state, target_index=idx
+            ),
+            score_col="mapping_score",
+            prepare_fn=lambda full: source_idf_map(full, cfg.ngram_length),
+        )
+        return run.score_metrics()
+
+    q["checkpoint_score_metrics"] = checkpoint_score_metrics
 
     # ---------------- ANN queries — both fully oracled since r2/r3
     # (deterministic hyperplanes / trained centroids are replayed in the
@@ -645,6 +707,20 @@ sh AS (
   FROM words, LATERAL unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS g(i)
 )"""
 )
+
+# One-digest MinHash replay (dedup.minhash_signatures): x is the single
+# 32-bit base digest per shingle; the 16 mins derive from it by the frozen
+# (A, B, P) multiply-add family — literals inlined from the engine module
+# so both engines run the identical arithmetic.
+_MINHASH_SIG_CTE = f"""sig AS (
+  SELECT doc_id, i,
+         min(({list(dd.MINHASH_A)}[i + 1]::BIGINT * x
+              + {list(dd.MINHASH_B)}[i + 1]) % {dd.MINHASH_P}) AS h
+  FROM (SELECT doc_id,
+               ('0x' || substring(md5(s), 1, 8))::BIGINT AS x FROM sh) sx,
+       LATERAL unnest(generate_series(0, 15)) AS t(i)
+  GROUP BY 1, 2
+)"""
 
 
 def _tfidf_cte(
@@ -908,6 +984,17 @@ FROM final"""
     # ...and so must the checkpointed (4-bucket, global-IDF prepare_fn)
     # run — bucketed == unbucketed as a driver-checked invariant
     o["checkpointed_tfidf"] = o["tfidf_topk"]
+    # the persisted _metrics histogram must equal the decile histogram
+    # recomputed from the reference pipeline's final relation (milli-
+    # rounded binning — integer-exact bin edges across engines)
+    o["checkpoint_score_metrics"] = (
+        _tfidf_cte()
+        + """
+SELECT CAST(least(floor(CAST(round(score * 1000) AS BIGINT) / 100.0), 9)
+            AS BIGINT) AS bin,
+       count(*) AS n
+FROM final GROUP BY 1"""
+    )
 
     o["normalize_mentions"] = f"""WITH {_MENTIONS_CTE}
 SELECT source_term_id, source_term, {_norm_sql('source_term')} AS norm FROM mentions"""
@@ -1064,21 +1151,15 @@ JOIN sizes sb ON sb.doc_id = doc_b
 WHERE matches::DOUBLE / (sa.sz + sb.sz - matches) >= 0.05"""
 
     o["minhash_signatures"] = f"""WITH {_SHINGLES_CTE},
-sig AS (
-  SELECT doc_id, i, min(md5(i::VARCHAR || ':' || s)) AS h
-  FROM sh, LATERAL unnest(generate_series(0, 15)) AS t(i)
-  GROUP BY 1, 2
-)
-SELECT doc_id AS doc, string_agg(h, '|' ORDER BY i) AS sig FROM sig GROUP BY doc_id"""
+{_MINHASH_SIG_CTE}
+SELECT doc_id AS doc, string_agg(h::VARCHAR, '|' ORDER BY i) AS sig
+FROM sig GROUP BY doc_id"""
 
     o["minhash_lsh_pairs"] = f"""WITH {_SHINGLES_CTE},
-sig AS (
-  SELECT doc_id, i, min(md5(i::VARCHAR || ':' || s)) AS h
-  FROM sh, LATERAL unnest(generate_series(0, 15)) AS t(i)
-  GROUP BY 1, 2
-),
+{_MINHASH_SIG_CTE},
 bands AS (
-  SELECT doc_id, i // 4 AS band, md5(string_agg(h, '|' ORDER BY i)) AS band_hash
+  SELECT doc_id, i // 4 AS band,
+         md5(string_agg(h::VARCHAR, '|' ORDER BY i)) AS band_hash
   FROM sig GROUP BY doc_id, i // 4
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -1092,13 +1173,10 @@ WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{thr}'"""
     # connected components over the SAME LSH pairs: recursive closure,
     # cluster_id = min reachable doc (mirrors min-label propagation)
     o["neardup_clusters"] = f"""WITH RECURSIVE {_SHINGLES_CTE},
-sig AS (
-  SELECT doc_id, i, min(md5(i::VARCHAR || ':' || s)) AS h
-  FROM sh, LATERAL unnest(generate_series(0, 15)) AS t(i)
-  GROUP BY 1, 2
-),
+{_MINHASH_SIG_CTE},
 bands AS (
-  SELECT doc_id, i // 4 AS band, md5(string_agg(h, '|' ORDER BY i)) AS band_hash
+  SELECT doc_id, i // 4 AS band,
+         md5(string_agg(h::VARCHAR, '|' ORDER BY i)) AS band_hash
   FROM sig GROUP BY doc_id, i // 4
 ),
 pairs AS (

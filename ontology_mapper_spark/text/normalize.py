@@ -86,7 +86,9 @@ def char_wb_ngrams_col(c: Column, n: int = 3) -> Column:
     """Spark-native char_wb n-grams: array<string> of all n-windows over each
     space-padded lowercased word. A word of length L yields max(1, L+3-n)
     windows — identical multiset to ``char_wb_ngrams_py``."""
-    words = F.split(F.trim(F.regexp_replace(F.lower(c), r"\s+", " ")), " ")
+    # split on whitespace runs directly — same tokens as normalize-then-
+    # split, one less full-text rewrite (see dedup.word_shingles)
+    words = F.split(F.trim(F.lower(c)), r"\s+")
     words = F.filter(words, lambda w: w != F.lit(""))
     return F.flatten(
         F.transform(

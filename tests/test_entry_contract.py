@@ -49,3 +49,32 @@ def test_all_queries_run_at_smoke_scale(spark):
     for name, fn in entrymod.queries().items():
         df = fn(spark, SF)
         assert df.count() >= 0, name
+
+
+def test_gate_ckpt_dir_is_pid_scoped_and_sweeps_dead_siblings(tmp_path):
+    """The checkpoint gate queries' scratch dirs must not be shared across
+    processes (a concurrent check_entry + pytest run clobbered each
+    other's buckets through the old fixed path) and must sweep dirs left
+    by dead processes so /tmp doesn't accrue parquet."""
+    import tempfile
+
+    base = tempfile.gettempdir()
+    # a sibling owned by a certainly-dead pid, and one owned by us
+    dead = os.path.join(base, "omsparktest_ckpt_pid999999999")
+    os.makedirs(dead, exist_ok=True)
+    (open(os.path.join(dead, "stale.parquet"), "w")).close()
+    mine = entrymod._gate_ckpt_dir("omsparktest_ckpt")
+    assert mine == os.path.join(base, f"omsparktest_ckpt_pid{os.getpid()}")
+    assert not os.path.exists(dead), "dead-pid sibling not swept"
+    assert not os.path.exists(mine), "returned dir must start empty"
+    # a second call in the same (live) process must not sweep away a dir
+    # belonging to a DIFFERENT name
+    other = os.path.join(base, "omsparktest_other_pid999999999")
+    os.makedirs(other, exist_ok=True)
+    try:
+        entrymod._gate_ckpt_dir("omsparktest_ckpt")
+        assert os.path.exists(other), "swept a sibling of a different name"
+    finally:
+        import shutil
+
+        shutil.rmtree(other, ignore_errors=True)

@@ -63,6 +63,45 @@ def test_minhash_lsh_finds_dups(spark, docs):
 
 
 @pytest.mark.spark
+def test_minhash_estimator_quality(spark):
+    """The r4 one-digest multiply-add family must remain a faithful MinHash:
+    the signature-agreement fraction estimates true shingle Jaccard.
+    Deterministic corpus (fixed constants, fixed texts): 40 doc pairs with
+    true Jaccard spread over (0, 1); with 16 hashes the estimator std is
+    sqrt(J(1-J)/16) <= 0.125, so mean |error| across 40 pairs must be well
+    under one std — a biased family (e.g. XOR 'permutations', which
+    preserve high-bit ordering) fails this."""
+    words = [f"w{i}" for i in range(30)]
+    rows, truths = [], {}
+
+    def shingle_set(toks):
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    for p in range(40):
+        base = [words[(p * 7 + j) % 30] for j in range(20)]
+        # overlap varies with p: replace a p-dependent suffix
+        cut = 3 + (p % 14)
+        other = base[:cut] + [words[(p * 11 + j) % 30] for j in range(3, 23 - cut)]
+        a, b = shingle_set(base), shingle_set(other)
+        truths[p] = len(a & b) / len(a | b)
+        rows.append((2 * p, " ".join(base)))
+        rows.append((2 * p + 1, " ".join(other)))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sigs = {
+        r["doc"]: r["sig"]
+        for r in dd.minhash_signatures(df, num_hashes=16, k=3).collect()
+    }
+    errs = []
+    for p, truth in truths.items():
+        agree = sum(
+            x == y for x, y in zip(sigs[2 * p], sigs[2 * p + 1])
+        ) / 16.0
+        errs.append(abs(agree - truth))
+    mean_err = sum(errs) / len(errs)
+    assert mean_err < 0.11, f"mean |est-true| {mean_err:.3f} (errs={errs})"
+
+
+@pytest.mark.spark
 def test_simhash_properties(spark, docs):
     sh = {r["doc"]: r["simhash"] for r in dd.simhash_profile(docs).collect()}
     assert all(len(v) == 32 and set(v) <= {"0", "1"} for v in sh.values())
