@@ -514,6 +514,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_pages_triples"] = kg_pages_triples
 
+    def incremental_kg_triples(spark, sf):
+        """Incremental KG maintenance, oracled by the STRONGEST possible
+        check: Spark runs the INCREMENTAL path (previous snapshot's
+        triples + digest change-detection + delta-only recompute via
+        pipeline.incremental_kg), DuckDB runs a FULL REBUILD over the
+        latest corpus state — hash-exact means incremental == full
+        rebuild, the defining invariant of delta processing. Scenario:
+        300-page previous corpus; re-crawl of pages [200, 350) where
+        every 7th page's content changed and 300..349 are new urls
+        (sources.pages.recrawl_rows — one deterministic rule shared with
+        the oracle replay). The IDF model is frozen over the latest
+        corpus and shared by both runs (snapshot state — see
+        incremental_kg's docstring)."""
+        from ontology_mapper_spark.operators.tfidf import source_idf_map
+        from ontology_mapper_spark.pipeline import (
+            construct_kg,
+            incremental_kg,
+            page_digests,
+        )
+        from ontology_mapper_spark.sources.pages import (
+            detect_mentions,
+            recrawl_pages,
+            synthesize_pages,
+        )
+
+        cfg = MappingConfig(max_mappings=1)
+        onto = fixture_onto_terms(spark)
+        prev = synthesize_pages(spark, 300)
+        new = recrawl_pages(spark, 200, 350)
+        latest = prev.join(
+            new.select("url"), "url", "left_anti"
+        ).unionByName(new)
+        idf = source_idf_map(detect_mentions(latest), cfg.ngram_length)
+        prev_triples = construct_kg(prev, onto, cfg, tfidf_source_idf=idf)
+        out = incremental_kg(
+            new, page_digests(prev), prev_triples, onto, cfg,
+            tfidf_source_idf=idf,
+        )
+        return out.select(
+            "subj",
+            "pred",
+            "obj",
+            F.round(F.col("score") * 1000).cast("int").alias("score_milli"),
+        )
+
+    q["incremental_kg_triples"] = incremental_kg_triples
+
     def checkpointed_tfidf(spark, sf):
         """The flagship mapping THROUGH the resumable-checkpoint machinery
         (CheckpointedRun.run, 4 url-hash buckets, whole-corpus IDF via
@@ -816,14 +863,12 @@ def _sq(s: str) -> str:
     return s.replace("'", "''")
 
 
-def _kg_mentions_cte(n_pages: int = 300) -> str:
-    """Replay the deterministic page corpus driver-side (pure Python — no
-    Spark) into the exact mention relation detect_mentions produces:
-    en pages only, one row per paragraph line, id = url#ordinal."""
-    from ontology_mapper_spark.sources.pages import page_rows
-
+def _mention_vals_cte(rows) -> str:
+    """Page rows → the exact mention relation detect_mentions produces:
+    en pages only, one row per paragraph line (line 0 = title, skipped),
+    id = url#ordinal — as a VALUES CTE."""
     vals = []
-    for url, _ts, _html, text, lang in page_rows(n_pages):
+    for url, _ts, _html, text, lang in rows:
         if lang != "en":
             continue
         for j, para in enumerate(text.split("\n")[1:]):  # line 0 = title
@@ -833,6 +878,29 @@ def _kg_mentions_cte(n_pages: int = 300) -> str:
         "mentions(source_term_id, source_term) AS (\n  SELECT * FROM (VALUES\n    "
         + ",\n    ".join(vals)
         + "\n  ) AS t(source_term_id, source_term)\n)"
+    )
+
+
+def _kg_mentions_cte(n_pages: int = 300) -> str:
+    """Replay the deterministic page corpus driver-side (pure Python — no
+    Spark) into a VALUES mention CTE."""
+    from ontology_mapper_spark.sources.pages import page_rows
+
+    return _mention_vals_cte(page_rows(n_pages))
+
+
+def _kg_latest_mentions_cte(lo: int = 200, hi: int = 350) -> str:
+    """The LATEST corpus state after the deterministic re-crawl
+    (sources.pages.recrawl_rows over [lo, hi)): pages 0..lo-1 keep their
+    original capture, [lo, hi) take the re-crawl (mutated where the
+    shared rule says so). The full-rebuild oracle for the incremental
+    gate query runs over this relation."""
+    import itertools
+
+    from ontology_mapper_spark.sources.pages import page_rows, recrawl_rows
+
+    return _mention_vals_cte(
+        itertools.chain(page_rows(lo), recrawl_rows(lo, hi))
     )
 
 
@@ -1430,6 +1498,22 @@ FROM events GROUP BY 1, 2"""
             max_mappings=1,
             ntop=50,
             mentions_cte=_kg_mentions_cte(300),
+            onto_sql=_fixture_onto_values_sql("class"),
+        )
+        + """
+SELECT source_term_id AS subj, 'mappedTo' AS pred, iri AS obj,
+       CAST(round(round(score, 3) * 1000) AS INT) AS score_milli
+FROM final"""
+    )
+
+    # the incremental path (Spark) vs a FULL REBUILD over the latest
+    # corpus state (DuckDB): hash-exact == "incremental ≡ full rebuild"
+    o["incremental_kg_triples"] = (
+        _tfidf_cte(
+            min_score=0.3,
+            max_mappings=1,
+            ntop=50,
+            mentions_cte=_kg_latest_mentions_cte(200, 350),
             onto_sql=_fixture_onto_values_sql("class"),
         )
         + """

@@ -111,6 +111,48 @@ def page_rows(
         yield (url, ts, html, extract_text_py(html), _LANGS[i % len(_LANGS)])
 
 
+def recrawl_rows(
+    lo: int,
+    hi: int,
+    mutate_every: int = 7,
+    extra_paragraph: str = "recurrent asthma episode",
+    recrawl_delay_days: int = 30,
+) -> Iterator[tuple]:
+    """Deterministic later-cycle crawl over pages [lo, hi): indices below
+    the previous corpus size are RE-captures whose content changed only
+    where ``i % mutate_every == 0`` (one appended paragraph, re-rendered
+    through the frozen extractor); the rest are byte-identical
+    re-captures at a later warc_ts; indices beyond the previous corpus
+    are new urls. One rule, shared by the incremental-KG tests, the
+    ``incremental_kg_triples`` gate query, and its DuckDB full-rebuild
+    oracle replay."""
+    for i, (url, ts, html, text, lang) in enumerate(page_rows(hi)):
+        if i < lo:
+            continue
+        if i % mutate_every == 0:
+            paras = text.split("\n")[1:] + [extra_paragraph]
+            html = render_html(f"Synthetic page {i}", paras)
+            text = extract_text_py(html)
+        yield (
+            url,
+            ts + datetime.timedelta(days=recrawl_delay_days),
+            html,
+            text,
+            lang,
+        )
+
+
+def recrawl_pages(spark: SparkSession, lo: int, hi: int, **kw) -> DataFrame:
+    """``recrawl_rows`` as a DataFrame. Driver-side materialization is fine
+    at gate/test scale (hundreds of rows); a bench-scale delta would use
+    the ``synthesize_pages`` mapInPandas shape instead."""
+    rows = [
+        (u, ts.replace(tzinfo=None), h, t, lang)
+        for u, ts, h, t, lang in recrawl_rows(lo, hi, **kw)
+    ]
+    return spark.createDataFrame(rows, PAGES_SCHEMA)
+
+
 def synthesize_pages(
     spark: SparkSession,
     n_pages: int,
