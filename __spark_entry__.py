@@ -109,6 +109,39 @@ def _gate_ckpt_dir(name: str) -> str:
     return out
 
 
+def _gate_checkpointed_run(spark: SparkSession, sf: str, dir_name: str):
+    """The ONE checkpointed gate configuration (4 url-hash buckets,
+    whole-corpus IDF via prepare_fn, shared prebuilt index), shared by
+    both checkpoint-surface queries so their setups cannot drift apart —
+    the two oracles assume they describe the same run. Separate scratch
+    dirs stay deliberate: gate queries must be independently runnable.
+    Returns ``(run, out)``."""
+    from ontology_mapper_spark.checkpoints import CheckpointedRun
+    from ontology_mapper_spark.operators.tfidf import (
+        build_target_index,
+        source_idf_map,
+    )
+
+    out_dir = _gate_ckpt_dir(dir_name)
+    mentions = _mentions(spark, sf)
+    labels = demo_onto_labels(spark)
+    cfg = MappingConfig(min_score=0.3, max_mappings=3)
+    # index built ONCE and shared across buckets — the amortization
+    # tfidf_map_broadcast's docstring prescribes for checkpoint runs
+    idx = build_target_index(labels, cfg.ngram_length)
+    run = CheckpointedRun(spark, out_dir, n_buckets=4)
+    out = run.run(
+        mentions,
+        key="source_term_id",
+        build_fn=lambda subset, state: tfidf_map_broadcast(
+            subset, labels, cfg, source_idf=state, target_index=idx
+        ),
+        score_col="mapping_score",
+        prepare_fn=lambda full: source_idf_map(full, cfg.ngram_length),
+    )
+    return run, out
+
+
 def _flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     cfg = MappingConfig(min_score=0.3, max_mappings=3)
     out = tfidf_map_broadcast(
@@ -568,29 +601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         tfidf_topk, making 'bucketed == unbucketed' a driver-checked
         invariant rather than pytest-only (the one surface the r3 judge
         noted had no oracle row)."""
-        from ontology_mapper_spark.checkpoints import CheckpointedRun
-        from ontology_mapper_spark.operators.tfidf import (
-            build_target_index,
-            source_idf_map,
-        )
-
-        out_dir = _gate_ckpt_dir("omspark_gate_ckpt")
-        mentions = _mentions(spark, sf)
-        labels = demo_onto_labels(spark)
-        cfg = MappingConfig(min_score=0.3, max_mappings=3)
-        # index built ONCE and shared across buckets — the amortization
-        # tfidf_map_broadcast's docstring prescribes for checkpoint runs
-        idx = build_target_index(labels, cfg.ngram_length)
-        run = CheckpointedRun(spark, out_dir, n_buckets=4)
-        out = run.run(
-            mentions,
-            key="source_term_id",
-            build_fn=lambda subset, state: tfidf_map_broadcast(
-                subset, labels, cfg, source_idf=state, target_index=idx
-            ),
-            score_col="mapping_score",
-            prepare_fn=lambda full: source_idf_map(full, cfg.ngram_length),
-        )
+        _run, out = _gate_checkpointed_run(spark, sf, "omspark_gate_ckpt")
         return _score_milli(out).select(
             "source_term_id", "source_term", "mapped_term_label",
             "mapped_term_iri", "score_milli",
@@ -606,26 +617,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         and aggregated across buckets — oracled by recomputing the
         histogram from the reference SQL pipeline's final relation. Proves
         the monitoring artifact itself, not just the data files."""
-        from ontology_mapper_spark.checkpoints import CheckpointedRun
-        from ontology_mapper_spark.operators.tfidf import (
-            build_target_index,
-            source_idf_map,
-        )
-
-        out_dir = _gate_ckpt_dir("omspark_gate_ckpt_metrics")
-        mentions = _mentions(spark, sf)
-        labels = demo_onto_labels(spark)
-        cfg = MappingConfig(min_score=0.3, max_mappings=3)
-        idx = build_target_index(labels, cfg.ngram_length)
-        run = CheckpointedRun(spark, out_dir, n_buckets=4)
-        run.run(
-            mentions,
-            key="source_term_id",
-            build_fn=lambda subset, state: tfidf_map_broadcast(
-                subset, labels, cfg, source_idf=state, target_index=idx
-            ),
-            score_col="mapping_score",
-            prepare_fn=lambda full: source_idf_map(full, cfg.ngram_length),
+        run, _out = _gate_checkpointed_run(
+            spark, sf, "omspark_gate_ckpt_metrics"
         )
         return run.score_metrics()
 

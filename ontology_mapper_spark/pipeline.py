@@ -361,15 +361,29 @@ def page_digests(pages: DataFrame, text_col: str = "text") -> DataFrame:
     return pages.select("url", F.sha2(F.col(text_col), 256).alias("digest"))
 
 
-def merge_digests(prev_digests: DataFrame, new_pages: DataFrame) -> DataFrame:
+def merge_digests(
+    prev_digests: DataFrame,
+    new_pages: DataFrame,
+    retired_urls: DataFrame | None = None,
+) -> DataFrame:
     """The digest snapshot to persist after applying ``new_pages``:
     re-crawled urls take their new digest, everything else carries over.
     One anti-join on url (broadcast-able: the crawl delta is the small
-    side against the corpus-wide snapshot)."""
+    side against the corpus-wide snapshot).
+
+    ``retired_urls``: MUST be the same relation passed to the matching
+    ``incremental_kg`` call. A retired url's digest cannot stay in the
+    snapshot: its triples were dropped, so if the url later reappears
+    with unchanged content a stale digest would classify it "unchanged"
+    and its triples would be permanently missing — dropping the digest
+    makes the reappearance register as new and recompute."""
     new_dig = page_digests(new_pages)
-    return prev_digests.join(
+    merged = prev_digests.join(
         new_dig.select("url"), "url", "left_anti"
     ).unionByName(new_dig)
+    if retired_urls is not None:
+        merged = merged.join(retired_urls.select("url"), "url", "left_anti")
+    return merged
 
 
 def triple_url(subj):

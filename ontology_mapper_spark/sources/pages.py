@@ -98,12 +98,15 @@ def _paragraphs(i: int, mentions_per_page: int, variants: int) -> list[str]:
 
 
 def page_rows(
-    n_pages: int, mentions_per_page: int = 4, variants: int = 0
+    n_pages: int, mentions_per_page: int = 4, variants: int = 0,
+    start: int = 0,
 ) -> Iterator[tuple]:
     """Deterministic page generator (seed-free arithmetic rotation).
     ``variants`` > 0 appends a rotating qualifier to each mention so bench
-    corpora have ~``len(vocab) * variants`` distinct mention strings."""
-    for i in range(n_pages):
+    corpora have ~``len(vocab) * variants`` distinct mention strings.
+    ``start``: first index to yield — each page is a pure function of its
+    index, so a range can be generated without rendering its prefix."""
+    for i in range(start, n_pages):
         url = f"https://example.org/site{i % 97}/page{i}"
         ts = _EPOCH + datetime.timedelta(seconds=37 * i)
         paras = _paragraphs(i, mentions_per_page, variants)
@@ -126,9 +129,9 @@ def recrawl_rows(
     are new urls. One rule, shared by the incremental-KG tests, the
     ``incremental_kg_triples`` gate query, and its DuckDB full-rebuild
     oracle replay."""
-    for i, (url, ts, html, text, lang) in enumerate(page_rows(hi)):
-        if i < lo:
-            continue
+    for i, (url, ts, html, text, lang) in zip(
+        range(lo, hi), page_rows(hi, start=lo)
+    ):
         if i % mutate_every == 0:
             paras = text.split("\n")[1:] + [extra_paragraph]
             html = render_html(f"Synthetic page {i}", paras)

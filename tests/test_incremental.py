@@ -150,3 +150,18 @@ def test_triple_url_with_fragmenty_urls(spark):
     )
     got = [r["u"] for r in df.select(triple_url("subj").alias("u")).collect()]
     assert got == ["https://a.org/p#frag", "https://b.org/q"]
+
+
+@pytest.mark.spark
+def test_merge_digests_drops_retired_urls(spark, state):
+    """A retired url's digest must leave the snapshot with its triples:
+    a stale digest would classify a later re-appearance with unchanged
+    content as 'unchanged' and its triples would stay missing forever
+    (r4 review finding)."""
+    prev, new, latest, idf, cfg, prev_triples = state
+    victim = _urls(0, RECRAWL_LO)[0][1]
+    retired = spark.createDataFrame([(victim,)], ["url"])
+    merged = merge_digests(page_digests(prev), new, retired_urls=retired)
+    assert merged.filter(F.col("url") == victim).count() == 0
+    # everything else unaffected
+    assert merged.count() == merge_digests(page_digests(prev), new).count() - 1

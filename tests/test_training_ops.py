@@ -509,3 +509,31 @@ def test_neardup_clusters_deep_chain_logarithmic(spark):
     }
     assert len(got) == 201
     assert set(got.values()) == {1000}
+
+
+@pytest.mark.spark
+def test_whitespace_edge_tokens_never_enter_shingles_or_simhash(spark):
+    """Spark's trim() strips only ASCII 0x20, so splitting on \\s+ leaves
+    empty edge tokens when the text starts/ends with tabs or newlines —
+    they must be filtered before shingling/hashing (r4 review finding:
+    docs identical up to a trailing newline stopped colliding, and the
+    dedup gate queries would diverge from the DuckDB oracle's
+    empty-filtered tokenization)."""
+    df = spark.createDataFrame(
+        [
+            (1, "asthma attack case"),
+            (2, "asthma attack case\n"),
+            (3, "\tasthma attack case"),
+            (4, "\n asthma attack case \t"),
+        ],
+        ["doc_id", "text"],
+    )
+    sh = {
+        r["doc_id"]: sorted(r["s"])
+        for r in df.select(
+            "doc_id", dd.word_shingles(F.col("text")).alias("s")
+        ).collect()
+    }
+    assert sh[1] == sh[2] == sh[3] == sh[4] == ["asthma attack case"]
+    sim = {r["doc"]: r["simhash"] for r in dd.simhash_profile(df).collect()}
+    assert sim[1] == sim[2] == sim[3] == sim[4]
