@@ -360,6 +360,155 @@ def _kg_run(cores: int, n_pages: int) -> None:
     ))
 
 
+def _incremental_run(cores: int, n_pages: int) -> None:
+    """Subprocess entry: incremental KG maintenance vs full rebuild on the
+    SAME latest corpus state — the work-proportional-to-delta claim,
+    measured. Scenario: an ``n_pages`` previous corpus; a later crawl
+    cycle re-captures the last 5% of urls (every 5th changed — one
+    appended line) and adds 2% new urls, so ~3% of the corpus needs
+    recomputation. Previous-cycle state (triples parquet, digest parquet,
+    frozen IDF model, ontology index) is built UNTIMED — it belongs to
+    the prior cycle, exactly like a deployment. Three timings:
+
+    - ``sec_full_rebuild``: construct_kg over the latest corpus.
+    - ``sec_delta``: incremental_kg_delta — change detection + mapping of
+      changed content only. This is the pipeline's compute, and the
+      number that scales as O(delta): it is what a merge-capable graph
+      table (Iceberg MERGE / delete-files) pays per cycle.
+    - ``sec_incremental_materialized``: the full unioned relation
+      (prev anti-join drop ∪ fresh) — what a merge-less overwrite sink
+      pays; its floor is a corpus-size scan regardless of delta size.
+
+    All actions are count() so the sink cost stays out of every number;
+    full-vs-incremental equality is asserted UNTIMED via an
+    order-independent checksum."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ontology_mapper_spark.operators.tfidf import source_idf_map
+    from ontology_mapper_spark.pipeline import (
+        build_pipeline_index,
+        incremental_kg,
+        incremental_kg_delta,
+        page_digests,
+    )
+    from ontology_mapper_spark.sources.pages import detect_mentions
+
+    spark = get_spark(f"bench-inc-{cores}", cores=cores,
+                      shuffle_partitions=max(cores * 2, 16))
+    variants = max(997, n_pages // 30)
+    r0, r1 = int(n_pages * 0.95), int(n_pages * 1.02)
+    snap = tempfile.mkdtemp(prefix="bench_inc_")
+    # ---- inputs, materialized untimed: the crawl is DATA, not engine
+    # work — leaving the synthetic generator in the lazy plans would
+    # re-render every page on every action and charge the generator's
+    # mapInPandas cost (~8 s/1.4M pages) to whichever path acts on it
+    idx_col = F.regexp_extract("url", r"page(\d+)$", 1).cast("long")
+    synthesize_pages(spark, n_pages, variants=variants).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(snap, "prev_pages"))
+    # mutation edits the HTML (one appended <p>): the engine re-extracts
+    # text from bytes per capture, as a real WARC pipeline does — a
+    # text-column-only mutation would be erased by extraction
+    mutated = (idx_col % 5 == 0) & (idx_col < n_pages)
+    synthesize_pages(
+        spark, r1, variants=variants, start=r0
+    ).withColumn(
+        "html",
+        F.when(
+            mutated,
+            F.encode(
+                F.regexp_replace(
+                    F.decode("html", "utf-8"),
+                    r"\n</body>",
+                    "\n<p>recurrent asthma episode</p>\n</body>",
+                ),
+                "utf-8",
+            ),
+        ).otherwise(F.col("html")),
+    ).write.mode("overwrite").parquet(os.path.join(snap, "new_pages"))
+    prev = spark.read.parquet(os.path.join(snap, "prev_pages"))
+    new = spark.read.parquet(os.path.join(snap, "new_pages"))
+    onto = _onto_table(spark)
+    cfg = MappingConfig(min_score=0.3, max_mappings=3)
+    index = build_pipeline_index(onto, cfg)
+    # ---- previous-cycle snapshot state, all untimed
+    idf = source_idf_map(detect_mentions(prev), cfg.ngram_length)
+    construct_kg(
+        prev, onto, cfg, tfidf_source_idf=idf, tfidf_index=index
+    ).write.mode("overwrite").parquet(os.path.join(snap, "triples"))
+    page_digests(prev).write.mode("overwrite").parquet(
+        os.path.join(snap, "digests")
+    )
+    prev_triples = spark.read.parquet(os.path.join(snap, "triples"))
+    prev_digests = spark.read.parquet(os.path.join(snap, "digests"))
+    latest = prev.join(
+        new.select("url"), "url", "left_anti"
+    ).unionByName(new)
+
+    def _checksum(df):
+        # crc32 is 32-bit: 10^7 rows sum to < 2^56, no ANSI sum overflow
+        r = df.agg(
+            F.sum(
+                F.crc32(
+                    F.concat_ws(
+                        "|", "subj", "obj",
+                        F.round(F.col("score") * 1000).cast("long")
+                        .cast("string"),
+                    )
+                )
+            ).alias("h"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        return int(r["h"]), int(r["n"])
+
+    kw = dict(tfidf_source_idf=idf, tfidf_index=index)
+    # full rebuild re-extracts text from html for the whole corpus — the
+    # per-capture cost a real WARC pipeline pays, O(corpus) here
+    full_df = construct_kg(latest, onto, cfg, reextract=True, **kw)
+    t0 = time.time()
+    n_full = full_df.count()
+    sec_full = time.time() - t0
+    # incremental extracts only the re-crawl (O(recrawl)), writes it once
+    # as the next page-table segment (what a deployment persists anyway),
+    # then detects + maps from that — all inside the timed region:
+    # per-capture processing belongs to this cycle
+    from ontology_mapper_spark.sources.pages import extract_text
+
+    t0 = time.time()
+    extract_text(new).write.mode("overwrite").parquet(
+        os.path.join(snap, "new_extracted")
+    )
+    new_e = spark.read.parquet(os.path.join(snap, "new_extracted"))
+    fresh, drop = incremental_kg_delta(new_e, prev_digests, onto, cfg, **kw)
+    n_fresh, n_drop = fresh.count(), drop.count()
+    sec_delta = time.time() - t0
+    inc_df = incremental_kg(new_e, prev_digests, prev_triples, onto, cfg, **kw)
+    t0 = time.time()
+    inc_df.count()
+    sec_inc = time.time() - t0
+    # equality proof, untimed (scans both full outputs)
+    match = _checksum(full_df) == _checksum(inc_df)
+    spark.stop()
+    shutil.rmtree(snap, ignore_errors=True)
+    print(json.dumps({
+        "pages": n_pages,
+        "recrawled": n_pages - r0,
+        "changed": (n_pages - r0) // 5,
+        "new_urls": r1 - n_pages,
+        "sec_full_rebuild": round(sec_full, 3),
+        "sec_delta": round(sec_delta, 3),
+        "sec_incremental_materialized": round(sec_inc, 3),
+        "delta_speedup": round(sec_full / sec_delta, 2),
+        "triples": n_full,
+        "fresh_triples": n_fresh,
+        "dropped_urls": n_drop,
+        "checksum_match": match,
+    }))
+
+
 def main() -> None:
     import subprocess
 
@@ -498,6 +647,23 @@ def main() -> None:
             "error": f"bigdim subprocess rc={out.returncode}",
             "stderr_tail": out.stderr[-2000:],
         }
+    # ---- incremental maintenance vs full rebuild (work ∝ delta claim):
+    # ~3% content delta on a third of the KG corpus, both paths timed in
+    # one subprocess with shared frozen-IDF/index snapshot state.
+    inc_pages = int(os.environ.get("BENCH_INC_PAGES", str(max(4000, N_PAGES // 3))))
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--incremental-run",
+         str(min(8, CPUS)), str(inc_pages)],
+        capture_output=True, text=True,
+    )
+    try:
+        results["incremental"] = json.loads(out.stdout.strip().splitlines()[-1])
+    except (json.JSONDecodeError, IndexError):
+        results["incremental"] = {
+            "error": f"incremental subprocess rc={out.returncode}",
+            "stderr_tail": out.stderr[-2000:],
+        }
+
     results["metric"] = "suite_sec"
     results["value"] = round(sum(times.values()), 3)
     print(json.dumps(results))
@@ -508,5 +674,7 @@ if __name__ == "__main__":
         _kg_run(int(sys.argv[2]), int(sys.argv[3]))
     elif len(sys.argv) > 1 and sys.argv[1] == "--bigdim-run":
         _bigdim_run(int(sys.argv[2]), int(sys.argv[3]))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--incremental-run":
+        _incremental_run(int(sys.argv[2]), int(sys.argv[3]))
     else:
         main()

@@ -34,6 +34,16 @@ from ontology_mapper_spark.sources.ontology import filter_terms_df, onto_labels_
 # release_pipeline_cache() frees the last one when the caller is done.
 _ACTIVE_MENTIONS: dict[int, DataFrame] = {}
 
+# Persisted changed-url sets from incremental_kg_delta (FIFO per session,
+# small cap): the changed set is referenced by BOTH delta outputs (the
+# page semi-join and the drop relation), and without a persist each
+# downstream action re-runs the digest join AND the re-crawl extraction
+# feeding it — measured 2-4 re-extractions of the full re-crawl per
+# incremental cycle. The set itself is tiny (one url string per changed
+# page).
+_ACTIVE_DELTAS: dict[int, list[DataFrame]] = {}
+_MAX_DELTA_CACHE = 4
+
 
 def release_pipeline_cache(spark: SparkSession | None = None) -> None:
     """Unpersist mention relations cached by ``map_terms_df`` — call after
@@ -51,6 +61,14 @@ def release_pipeline_cache(spark: SparkSession | None = None) -> None:
             # unpersist); never let one dead session abort releasing the
             # rest, and always drop the dict reference either way
             pass
+    for k in [
+        k for k in list(_ACTIVE_DELTAS) if spark is None or k == id(spark)
+    ]:
+        for df in _ACTIVE_DELTAS.pop(k):
+            try:
+                df.unpersist()
+            except Exception:
+                pass
     # one-stop cleanup: the term-file ID path keeps its own single-slot
     # salted-ordinal cache (sources.terms)
     term_src.release_ordinal_cache(spark)
@@ -451,6 +469,39 @@ def incremental_kg(
     produced ``prev_triples``. Pure per-pair mappers (syntactic metrics)
     have no corpus state and need nothing.
     """
+    fresh, drop = incremental_kg_delta(
+        new_pages, prev_digests, onto_terms, cfg,
+        retired_urls=retired_urls, **kwargs,
+    )
+    kept = (
+        prev_triples.withColumn("_url", triple_url("subj"))
+        .join(drop.withColumnRenamed("url", "_url"), "_url", "left_anti")
+        .drop("_url")
+    )
+    return kept.unionByName(fresh)
+
+
+def incremental_kg_delta(
+    new_pages: DataFrame,
+    prev_digests: DataFrame,
+    onto_terms: DataFrame,
+    cfg: MappingConfig | None = None,
+    retired_urls: DataFrame | None = None,
+    **kwargs,
+) -> tuple[DataFrame, DataFrame]:
+    """The CDC form of ``incremental_kg``: ``(fresh_triples,
+    dropped_urls)`` — everything the crawl delta implies, WITHOUT the
+    union against the previous snapshot. ``incremental_kg(...)`` ==
+    ``prev_triples anti-join dropped_urls ∪ fresh_triples``.
+
+    This is the shape to feed a merge-capable graph table (Iceberg
+    ``MERGE INTO`` / delete-files): computing the delta costs
+    O(changed content), and a merge commit costs O(delta) too — the
+    whole cycle never touches unchanged data. Materializing the full
+    unioned relation (what ``incremental_kg`` returns, and what a plain
+    overwrite-parquet sink would have to write) costs O(corpus) in the
+    SINK even though the compute stays O(delta); `bench.py
+    --incremental-run` reports both numbers separately."""
     cfg = cfg or MappingConfig()
     if cfg.mapper == Mapper.TFIDF and kwargs.get("tfidf_source_idf") is None:
         raise ValueError(
@@ -474,16 +525,24 @@ def incremental_kg(
         )
         .select("url")
     )
+    # pin the changed set: both outputs reference it, and every action on
+    # either would otherwise replay the digest join and the (expensive)
+    # extraction of the whole re-crawl feeding it (see _ACTIVE_DELTAS)
+    from pyspark import StorageLevel
+
+    changed_urls = changed_urls.persist(StorageLevel.MEMORY_AND_DISK)
+    slot = _ACTIVE_DELTAS.setdefault(id(new_pages.sparkSession), [])
+    slot.append(changed_urls)
+    if len(slot) > _MAX_DELTA_CACHE:
+        try:
+            slot.pop(0).unpersist()
+        except Exception:
+            pass
     pages_to_map = new_pages.join(changed_urls, "url", "left_semi")
     fresh = construct_kg(pages_to_map, onto_terms, cfg, **kwargs)
     drop = changed_urls
     if retired_urls is not None:
         drop = drop.unionByName(retired_urls.select("url")).distinct()
-    kept = (
-        prev_triples.withColumn("_url", triple_url("subj"))
-        .join(drop.withColumnRenamed("url", "_url"), "_url", "left_anti")
-        .drop("_url")
-    )
-    return kept.unionByName(fresh)
+    return fresh, drop
 
 

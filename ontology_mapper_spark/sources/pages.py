@@ -162,15 +162,20 @@ def synthesize_pages(
     mentions_per_page: int = 4,
     num_partitions: int | None = None,
     variants: int = 0,
+    start: int = 0,
 ) -> DataFrame:
     """Distributed deterministic synthesis: each partition renders its own
-    index range (no driver materialization — scales to any n_pages)."""
+    index range (no driver materialization — scales to any n_pages).
+    ``start``: first page index (a [start, n_pages) slice — pages are pure
+    functions of their index, so a later crawl cycle's range can be
+    synthesized without its prefix)."""
     # Every Arrow/pandas stage pays a fixed per-task cost (~0.1-0.3s for
     # worker handshake + Arrow setup), so partitions must be coarse enough
     # to amortize it (~2500 pages ≈ 10k mentions ≈ one Arrow batch per
     # task) while still giving up to ~64 concurrent tasks for scale-out.
-    num_partitions = num_partitions or max(8, min(256, n_pages // 2500 or 1))
-    rng = spark.range(0, n_pages, 1, num_partitions)
+    n_slice = n_pages - start
+    num_partitions = num_partitions or max(8, min(256, n_slice // 2500 or 1))
+    rng = spark.range(start, n_pages, 1, num_partitions)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
