@@ -164,17 +164,36 @@ def ngram_jaccard_pairs(
 # 64-bit integer in EITHER engine (Spark wraps silently on overflow,
 # DuckDB raises — staying under 2^63 makes the arithmetic identical).
 # Constants were drawn once from a fixed PRNG seed and frozen as literals
-# so signatures are stable across releases.
+# so signatures are stable across releases. 64 pairs ship (default
+# num_hashes=16 uses the first 16, unchanged since they were frozen;
+# 17..63 allow tighter Jaccard estimates / more LSH bands at the same
+# arithmetic, e.g. 32 hashes x 8 bands of 4 rows).
 MINHASH_P = 4294967311
 MINHASH_A = [
     152210629, 918217649, 658508023, 437712405, 210530483, 627555869,
     929479957, 880446443, 450932601, 687911659, 516286697, 333275189,
-    660335779, 841748847, 819230763, 867337001,
+    660335779, 841748847, 819230763, 867337001, 47889135, 65114457,
+    1011686525, 759351239, 974671989, 577896127, 772492241, 833202457,
+    111707541, 625836047, 1057572213, 1063964745, 267543841, 267400637,
+    348751615, 654793805, 143891287, 195259243, 431904685, 919078929,
+    686338909, 172297135, 887214699, 264574111, 314282507, 878194981,
+    948925683, 116727529, 735930537, 826784755, 51985271, 841673441,
+    171433399, 901478357, 631671461, 67833137, 313500707, 220263069,
+    889086231, 714830137, 284961447, 133584903, 471598509, 1022950197,
+    912397263, 57176303, 1064997403, 807027353,
 ]
 MINHASH_B = [
     1481503688, 1706964142, 1430083405, 3503532737, 3214762415, 3239228431,
     1040608570, 1603612122, 2855768614, 835852107, 1666463566, 2912677003,
-    1690421402, 3317940406, 1869843828, 955008304,
+    1690421402, 3317940406, 1869843828, 955008304, 1794848526, 1116645096,
+    1348070719, 212354230, 2487781151, 2279043270, 3689394951, 719448776,
+    1239662262, 3160473944, 251675599, 2472157090, 1467378666, 1806884884,
+    1511885691, 1229397931, 1534864425, 2711117983, 2650846572, 982877753,
+    1930790749, 987342118, 38005099, 1837608243, 3771663755, 3145375323,
+    2965587002, 3403183516, 791040197, 1148003899, 1615218847, 629441141,
+    1979106287, 1040790984, 3397837516, 3152981759, 2391059664, 119484177,
+    982177880, 314238108, 1092925116, 1804667808, 1504216172, 3361036285,
+    670569790, 1574692872, 1024518582, 2136367277,
 ]
 
 

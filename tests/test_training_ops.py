@@ -537,3 +537,29 @@ def test_whitespace_edge_tokens_never_enter_shingles_or_simhash(spark):
     assert sh[1] == sh[2] == sh[3] == sh[4] == ["asthma attack case"]
     sim = {r["doc"]: r["simhash"] for r in dd.simhash_profile(df).collect()}
     assert sim[1] == sim[2] == sim[3] == sim[4]
+
+
+def test_minhash_constant_family_invariants():
+    """The widened 64-pair family must keep every property the overflow
+    and portability arguments rely on: A odd in [1, 2^30) (product stays
+    under 2^62 — identical signed-64 arithmetic in Spark and DuckDB),
+    B in [0, P), all pairs distinct, and the FIRST 16 pairs frozen
+    forever (published signatures must not change)."""
+    P = dd.MINHASH_P
+    assert len(dd.MINHASH_A) == len(dd.MINHASH_B) == 64
+    assert all(a % 2 == 1 and 1 <= a < 2**30 for a in dd.MINHASH_A)
+    assert all(0 <= b < P for b in dd.MINHASH_B)
+    assert max(dd.MINHASH_A) * (P - 1) + max(dd.MINHASH_B) < 2**63
+    assert len(set(zip(dd.MINHASH_A, dd.MINHASH_B))) == 64
+    assert dd.MINHASH_A[:4] == [152210629, 918217649, 658508023, 437712405]
+    assert dd.MINHASH_B[:4] == [1481503688, 1706964142, 1430083405, 3503532737]
+
+
+@pytest.mark.spark
+def test_minhash_32_hashes(spark, docs):
+    """num_hashes beyond the original 16 works and the first 16 slots of
+    a wider signature equal the 16-hash signature (same frozen pairs)."""
+    s16 = {r["doc"]: r["sig"] for r in dd.minhash_signatures(docs, num_hashes=16).collect()}
+    s32 = {r["doc"]: r["sig"] for r in dd.minhash_signatures(docs, num_hashes=32).collect()}
+    assert all(len(v) == 32 for v in s32.values())
+    assert all(s32[d][:16] == s16[d] for d in s16)
