@@ -361,7 +361,21 @@ def _kg_run(cores: int, n_pages: int) -> None:
 
 
 def _incremental_run(cores: int, n_pages: int) -> None:
-    """Subprocess entry: incremental KG maintenance vs full rebuild on the
+    """Wrapper: the scratch dir (multiple GB of page parquet at bench
+    scale) must not survive a mid-run failure — rmtree runs on EVERY
+    exit path."""
+    import shutil
+    import tempfile
+
+    snap = tempfile.mkdtemp(prefix="bench_inc_")
+    try:
+        _incremental_run_impl(cores, n_pages, snap)
+    finally:
+        shutil.rmtree(snap, ignore_errors=True)
+
+
+def _incremental_run_impl(cores: int, n_pages: int, snap: str) -> None:
+    """Incremental KG maintenance vs full rebuild on the
     SAME latest corpus state — the work-proportional-to-delta claim,
     measured. Scenario: an ``n_pages`` previous corpus; a later crawl
     cycle re-captures the last 5% of urls (every 5th changed — one
@@ -382,9 +396,6 @@ def _incremental_run(cores: int, n_pages: int) -> None:
     All actions are count() so the sink cost stays out of every number;
     full-vs-incremental equality is asserted UNTIMED via an
     order-independent checksum."""
-    import shutil
-    import tempfile
-
     from pyspark.sql import functions as F
 
     from ontology_mapper_spark.operators.tfidf import source_idf_map
@@ -400,7 +411,6 @@ def _incremental_run(cores: int, n_pages: int) -> None:
                       shuffle_partitions=max(cores * 2, 16))
     variants = max(997, n_pages // 30)
     r0, r1 = int(n_pages * 0.95), int(n_pages * 1.02)
-    snap = tempfile.mkdtemp(prefix="bench_inc_")
     # ---- inputs, materialized untimed: the crawl is DATA, not engine
     # work — leaving the synthetic generator in the lazy plans would
     # re-render every page on every action and charge the generator's
@@ -462,7 +472,9 @@ def _incremental_run(cores: int, n_pages: int) -> None:
             ).alias("h"),
             F.count(F.lit(1)).alias("n"),
         ).collect()[0]
-        return int(r["h"]), int(r["n"])
+        # sum over zero rows is NULL — an empty relation must compare as
+        # (0, 0), not crash the subprocess
+        return int(r["h"] or 0), int(r["n"])
 
     kw = dict(tfidf_source_idf=idf, tfidf_index=index)
     # full rebuild re-extracts text from html for the whole corpus — the
@@ -492,11 +504,12 @@ def _incremental_run(cores: int, n_pages: int) -> None:
     # equality proof, untimed (scans both full outputs)
     match = _checksum(full_df) == _checksum(inc_df)
     spark.stop()
-    shutil.rmtree(snap, ignore_errors=True)
     print(json.dumps({
         "pages": n_pages,
         "recrawled": n_pages - r0,
-        "changed": (n_pages - r0) // 5,
+        # exact count of multiples of 5 in [r0, n_pages) — the interval
+        # length // 5 is off by one for most alignments
+        "changed": (n_pages - 1) // 5 - (r0 - 1) // 5,
         "new_urls": r1 - n_pages,
         "sec_full_rebuild": round(sec_full, 3),
         "sec_delta": round(sec_delta, 3),

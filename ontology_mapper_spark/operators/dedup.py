@@ -22,22 +22,17 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ontology_mapper_spark.text.normalize import ws_tokens
+
 
 def word_shingles(text: Column, k: int = 3) -> Column:
     """Distinct k-word shingles of whitespace-tokenized text.
 
-    Tokenization splits the trimmed text on whitespace RUNS directly —
-    ~25% faster than the previous normalize-then-split-on-space form
-    (``regexp_replace(\\s+, ' ')`` then split): the regex engine scans
-    once without materializing a rewritten copy of the whole text first
-    (measured 3.9 s -> 2.9 s for the sf0.1 shingle explode). The empty
-    strings the split leaves at the array edges when the text begins or
-    ends with NON-SPACE whitespace (``trim`` strips only ASCII 0x20 —
-    tabs/newlines survive it) are filtered explicitly; with the filter
-    the token stream is identical to the old form (pinned by test)."""
-    words = F.filter(
-        F.split(F.trim(text), r"\s+"), lambda w: w != F.lit("")
-    )
+    Tokenization is the engine-canonical ``text.normalize.ws_tokens``
+    (whitespace-run split + empty-edge filter — see its docstring for why
+    the filter is an oracle-parity invariant; measured 3.9 s -> 2.9 s on
+    the sf0.1 shingle explode vs the old normalize-then-split form)."""
+    words = ws_tokens(text)
     n = F.size(words)
     return F.array_distinct(
         F.when(
@@ -378,13 +373,7 @@ def simhash_profile(
     ``md5(t)`` inside the per-bit lambda, so codegen recomputed the digest
     ``bits`` times per token — measured ~3x slower at sf0.1."""
     assert bits <= 32
-    # split on whitespace runs + drop edge empties (trim strips only
-    # 0x20; tabs/newlines survive it — see word_shingles): same tokens
-    # as normalize-then-split, one less full-text rewrite
-    words = F.filter(
-        F.split(F.trim(F.col(text_col)), r"\s+"),
-        lambda w: w != F.lit(""),
-    )
+    words = ws_tokens(F.col(text_col))
     # per token: md5 -> hex -> '0'/'1' string (high bit of each hex digit)
     bitstrs = F.transform(
         words,

@@ -8,6 +8,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ontology_mapper_spark.text.normalize import ws_tokens
+
 # tiny deterministic stopword profiles for the n-gram/stopword language
 # heuristic (public knowledge lists, truncated)
 LANG_PROFILES = {
@@ -30,12 +32,7 @@ BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"
 
 
 def _words(text: Column) -> Column:
-    # split on whitespace runs directly: same tokens as normalize-then-
-    # split-on-space, one less full-text rewrite (see dedup.word_shingles)
-    return F.filter(
-        F.split(F.trim(text), r"\s+"),
-        lambda w: w != F.lit(""),
-    )
+    return ws_tokens(text)
 
 
 def token_stats(docs: DataFrame, text_col: str = "text",

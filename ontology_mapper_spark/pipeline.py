@@ -34,15 +34,18 @@ from ontology_mapper_spark.sources.ontology import filter_terms_df, onto_labels_
 # release_pipeline_cache() frees the last one when the caller is done.
 _ACTIVE_MENTIONS: dict[int, DataFrame] = {}
 
-# Persisted changed-url sets from incremental_kg_delta (FIFO per session,
-# small cap): the changed set is referenced by BOTH delta outputs (the
-# page semi-join and the drop relation), and without a persist each
-# downstream action re-runs the digest join AND the re-crawl extraction
-# feeding it — measured 2-4 re-extractions of the full re-crawl per
-# incremental cycle. The set itself is tiny (one url string per changed
-# page).
+# Persisted changed-url sets from incremental_kg_delta (FIFO per session):
+# the changed set is referenced by BOTH delta outputs (the page semi-join
+# and the drop relation), and without a persist each downstream action
+# re-runs the digest join AND the re-crawl extraction feeding it —
+# measured 2-4 re-extractions of the full re-crawl per incremental cycle.
+# The set itself is tiny (one url string per changed page). The FIFO cap
+# bounds session memory; an EVICTED set's outputs stay correct but
+# silently regain the replay cost — 16 concurrent un-actioned delta plans
+# per session is far beyond any real cycle pattern, and
+# release_pipeline_cache() is the deterministic release point.
 _ACTIVE_DELTAS: dict[int, list[DataFrame]] = {}
-_MAX_DELTA_CACHE = 4
+_MAX_DELTA_CACHE = 16
 
 
 def release_pipeline_cache(spark: SparkSession | None = None) -> None:
@@ -511,6 +514,15 @@ def incremental_kg_delta(
             "operators.tfidf.source_idf_map and pass the SAME model used "
             "to produce prev_triples, or fresh and reused triples would "
             "be scored on different corpora"
+        )
+    if retired_urls is not None:
+        # retirement WINS over re-crawl within one cycle: a url both
+        # retired and re-captured contributes no fresh triples, matching
+        # merge_digests (which drops its digest) — the KG and the digest
+        # snapshot must agree on the url's existence. A later re-appearance
+        # registers as new and recomputes.
+        new_pages = new_pages.join(
+            retired_urls.select("url"), "url", "left_anti"
         )
     new_dig = page_digests(new_pages)
     changed_urls = (

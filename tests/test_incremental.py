@@ -165,3 +165,22 @@ def test_merge_digests_drops_retired_urls(spark, state):
     assert merged.filter(F.col("url") == victim).count() == 0
     # everything else unaffected
     assert merged.count() == merge_digests(page_digests(prev), new).count() - 1
+
+
+@pytest.mark.spark
+def test_retired_and_recrawled_url_yields_no_triples(spark, onto, state):
+    """Retirement WINS over re-crawl within one cycle: a url both retired
+    and re-captured (even with changed content) contributes no fresh
+    triples, matching merge_digests dropping its digest — KG and digest
+    snapshot must agree on the url's existence (r4 review finding)."""
+    prev, new, latest, idf, cfg, prev_triples = state
+    # a CHANGED re-crawled url (would otherwise be recomputed)
+    victim = next(
+        u for i, u in _urls(RECRAWL_LO, N_PREV) if i % MUTATE_EVERY == 0
+    )
+    retired = spark.createDataFrame([(victim,)], ["url"])
+    inc = incremental_kg(
+        new, page_digests(prev), prev_triples, onto, cfg,
+        retired_urls=retired, tfidf_source_idf=idf,
+    )
+    assert inc.filter(triple_url("subj") == victim).count() == 0
