@@ -433,6 +433,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["hierarchy_edges"] = hedges
 
+    def term_pagerank(spark, sf):
+        """Integer-arithmetic PageRank over the fixture ontology's full
+        edge relation (IS_A ∪ INSTANCE_OF) — KG consumption-side entity
+        importance. The micro-unit/floor-div recurrence makes every sum
+        order-independent, so a DuckDB replay of the same recurrence
+        (chained generated CTEs) is bit-exact — a hash-comparable
+        iterative graph algorithm, which float PageRank can never be."""
+        from ontology_mapper_spark.operators.graph import pagerank_int
+
+        edges = hierarchy_edges(fixture_onto_terms(spark)).select("src", "dst")
+        return pagerank_int(edges, iterations=6)
+
+    q["term_pagerank"] = term_pagerank
+
     def topk_per_group(spark, sf):
         li = spark.read.parquet(f"{sf}/lineitem.parquet")
         w = Window.partitionBy("l_orderkey").orderBy(
@@ -1477,6 +1491,41 @@ inst(src, dst) AS (
 SELECT src, dst, 'IS_A' AS label FROM is_a
 UNION ALL
 SELECT src, dst, 'INSTANCE_OF' AS label FROM inst"""
+
+    # pagerank_int replayed as chained CTEs (one per iteration — a
+    # recursive CTE can't aggregate in its recursive term): the identical
+    # integer recurrence, bit-exact because every op is exact arithmetic
+    pr_iters = 6
+    pr_steps = []
+    prev = "pr0"
+    for i in range(1, pr_iters + 1):
+        pr_steps.append(
+            f"""pr{i} AS (
+  SELECT n.node, CAST(150000 + COALESCE(s.s, 0) AS BIGINT) AS r
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, SUM(({prev}.r * 85) // (100 * o.od)) AS s
+    FROM edges e JOIN od o ON o.src = e.src JOIN {prev} ON {prev}.node = e.src
+    GROUP BY e.dst
+  ) s ON s.node = n.node
+)"""
+        )
+        prev = f"pr{i}"
+    o["term_pagerank"] = f"""WITH is_a(src, dst) AS (
+  SELECT * FROM (VALUES
+    {_fixture_edges_values()}
+  ) AS t(src, dst)
+),
+inst(src, dst) AS (
+  SELECT * FROM (VALUES
+    {_fixture_instance_values()}
+  ) AS t(src, dst)
+),
+edges AS (SELECT src, dst FROM is_a UNION ALL SELECT src, dst FROM inst),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+od AS (SELECT src, count(*) AS od FROM edges GROUP BY 1),
+pr0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+{",".join(pr_steps)}
+SELECT node, r AS rank_micro FROM {prev}"""
 
     o["events_windowed"] = """
 SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,

@@ -85,6 +85,69 @@ def ancestor_closure(
     return closure
 
 
+def pagerank_int(
+    edges: DataFrame,
+    iterations: int = 6,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Integer-arithmetic PageRank over a KG edge relation — entity
+    importance for the graph's CONSUMPTION side (rank ontology terms by
+    accumulated mention/hierarchy mass). Returns ``(node, rank_micro)``.
+
+    The recurrence is the unnormalized propagation form in integer
+    micro-units: ``r_0 = 1_000_000``;
+    ``r_{t+1}(v) = 150_000 + Σ_{u→v} (r_t(u) * 85) div (100 * outdeg(u))``
+    (damping 0.85 as the exact fraction 85/100, floor division).
+    Every operation is exact integer arithmetic, so the per-node sum is
+    ORDER-INDEPENDENT — the result is bit-identical across engines,
+    partitionings, and retries, and the DuckDB oracle replays the same
+    recurrence as generated chained CTEs (floating-point PageRank can
+    never be hash-compared across engines; this formulation can).
+    Dangling nodes contribute nothing (their mass is dropped — the
+    standard simplification; document-level ranking only needs relative
+    order). Fixed iteration count rather than convergence detection:
+    deterministic cost, deterministic result.
+
+    Scale shape: per iteration ONE shuffle (the contribution aggregate on
+    ``dst``); ``outdeg`` is dimension-sized and broadcastable; lineage is
+    cut every third iteration with localCheckpoint (the iterated-join
+    pattern of ``ancestor_closure``). At 10^12 edges, pre-bucket the edge
+    relation by ``src`` so the rank join co-locates."""
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    nodes = (
+        e.select(F.col("_s").alias("node"))
+        .unionByName(e.select(F.col("_d").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    outdeg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_od"))
+    ranks = nodes.withColumn("r", F.lit(1_000_000).cast("long"))
+    for i in range(iterations):
+        contrib = (
+            e.join(outdeg, "_s")
+            .join(ranks.withColumnRenamed("node", "_s"), "_s")
+            .select(
+                F.col("_d").alias("node"),
+                F.expr("(r * 85) div (100 * _od)").cast("long").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (F.lit(150_000) + F.coalesce(F.col("s"), F.lit(0)))
+                .cast("long")
+                .alias("r"),
+            )
+        )
+        if i % 3 == 2:
+            ranks = ranks.localCheckpoint()
+    return ranks.select("node", F.col("r").alias("rank_micro"))
+
+
 def term_graph_nodes_edges(onto_terms: DataFrame) -> tuple[DataFrame, DataFrame]:
     """G4 prep — per-term graph member nodes and edges, as flat DataFrames
     keyed by ``graph_iri``. Node labels resolve as: relation-map value, else

@@ -115,3 +115,54 @@ def test_term_graphs_json(spark, onto):
     # every graph's JSON is serializable via to_json
     js = term_graphs_json(onto).select(F.to_json(F.struct("iri", "nodes", "edges")))
     assert js.count() == len(graphs)
+
+
+def _py_pagerank(edge_list, iterations=6):
+    """Exact Python replica of pagerank_int's integer recurrence."""
+    from collections import Counter, defaultdict
+
+    nodes = {s for s, _ in edge_list} | {d for _, d in edge_list}
+    outdeg = Counter(s for s, _ in edge_list)
+    r = {n: 1_000_000 for n in nodes}
+    for _ in range(iterations):
+        acc = defaultdict(int)
+        for s, d in edge_list:
+            acc[d] += (r[s] * 85) // (100 * outdeg[s])
+        r = {n: 150_000 + acc.get(n, 0) for n in nodes}
+    return r
+
+
+@pytest.mark.spark
+def test_pagerank_int_matches_python_replica(spark, onto):
+    from ontology_mapper_spark.operators.graph import pagerank_int
+
+    edges = hierarchy_edges(onto).select("src", "dst")
+    el = [(row["src"], row["dst"]) for row in edges.collect()]
+    want = _py_pagerank(el, iterations=6)
+    got = {
+        row["node"]: row["rank_micro"]
+        for row in pagerank_int(edges, iterations=6).collect()
+    }
+    assert got == want
+    # roots (IS_A targets) accumulate mass: some node must exceed the
+    # no-inbound floor after propagation
+    assert max(got.values()) > 150_000
+
+
+@pytest.mark.spark
+def test_pagerank_int_partition_invariant(spark, onto):
+    """The integer formulation is exact — identical output under a
+    different partitioning (a float PageRank would differ in last-ulp
+    summation order)."""
+    from ontology_mapper_spark.operators.graph import pagerank_int
+
+    edges = hierarchy_edges(onto).select("src", "dst")
+    a = {
+        row["node"]: row["rank_micro"]
+        for row in pagerank_int(edges.repartition(1), iterations=6).collect()
+    }
+    b = {
+        row["node"]: row["rank_micro"]
+        for row in pagerank_int(edges.repartition(13), iterations=6).collect()
+    }
+    assert a == b
