@@ -90,6 +90,7 @@ def pagerank_int(
     iterations: int = 6,
     src: str = "src",
     dst: str = "dst",
+    _max_rank: int | None = None,
 ) -> DataFrame:
     """Integer-arithmetic PageRank over a KG edge relation — entity
     importance for the graph's CONSUMPTION side (rank ontology terms by
@@ -109,24 +110,53 @@ def pagerank_int(
     order). Fixed iteration count rather than convergence detection:
     deterministic cost, deterministic result.
 
-    Scale shape: per iteration ONE shuffle (the contribution aggregate on
-    ``dst``); ``outdeg`` is dimension-sized and broadcastable; lineage is
-    cut every third iteration with localCheckpoint (the iterated-join
-    pattern of ``ancestor_closure``). At 10^12 edges, pre-bucket the edge
-    relation by ``src`` so the rank join co-locates."""
-    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    Scale shape: per iteration the contribution aggregate shuffles on
+    ``dst`` and the rank join shuffles on ``src`` (co-locatable: bucket
+    the checkpointed edge relation by ``src`` and the shuffle drops to
+    the aggregate alone); ``outdeg`` is node-sized; edge relation,
+    out-degrees, and every third iteration's ranks are localCheckpointed
+    so no iteration's plan re-scans the input (the iterated-join pattern
+    of ``ancestor_closure``)."""
+    # pin the edge relation and its out-degree aggregate: each iteration's
+    # plan references both, and the 3-iteration lineage span would
+    # otherwise re-scan the input and re-run the outdeg shuffle once per
+    # embedded iteration (the ancestor_closure pattern)
+    e = edges.select(
+        F.col(src).alias("_s"), F.col(dst).alias("_d")
+    ).localCheckpoint()
     nodes = (
         e.select(F.col("_s").alias("node"))
         .unionByName(e.select(F.col("_d").alias("node")))
         .distinct()
         .localCheckpoint()
     )
-    outdeg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_od"))
+    outdeg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_od")).localCheckpoint()
     ranks = nodes.withColumn("r", F.lit(1_000_000).cast("long"))
+    # int64-safe ceiling: past it, r * 85 would overflow — Spark (non-ANSI)
+    # wraps SILENTLY where DuckDB raises and the Python replica is exact,
+    # three different outcomes for a bit-identical-by-contract operator.
+    # Guard loudly per-row (free in the projection; reachable only under
+    # extreme hub mass concentration, ~1.1e17 micro-units on one node).
+    max_rank = _max_rank if _max_rank is not None else (2**63 - 1) // 85
     for i in range(iterations):
+        safe_r = F.when(
+            F.col("r") > F.lit(max_rank),
+            F.raise_error(
+                F.lit(
+                    "pagerank_int: rank exceeds the int64-safe ceiling "
+                    "(r * 85 would overflow); fewer iterations or a "
+                    "rescaling pass is required"
+                )
+            ).cast("long"),
+        ).otherwise(F.col("r"))
         contrib = (
             e.join(outdeg, "_s")
-            .join(ranks.withColumnRenamed("node", "_s"), "_s")
+            .join(
+                ranks.select(
+                    F.col("node").alias("_s"), safe_r.alias("r")
+                ),
+                "_s",
+            )
             .select(
                 F.col("_d").alias("node"),
                 F.expr("(r * 85) div (100 * _od)").cast("long").alias("c"),

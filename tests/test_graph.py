@@ -166,3 +166,22 @@ def test_pagerank_int_partition_invariant(spark, onto):
         for row in pagerank_int(edges.repartition(13), iterations=6).collect()
     }
     assert a == b
+
+
+@pytest.mark.spark
+def test_pagerank_int_overflow_guard(spark):
+    """A rank past the int64-safe ceiling must fail LOUDLY (Spark would
+    otherwise wrap r*85 silently where DuckDB raises and the Python
+    replica stays exact — three different outcomes for a
+    bit-identical-by-contract operator). Driven through the operator's
+    own guard via the test-only ceiling override."""
+    from ontology_mapper_spark.operators.graph import pagerank_int
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("c", "b")], ["src", "dst"]
+    )
+    # sane ceiling: fine
+    assert pagerank_int(edges, iterations=2).count() == 3
+    # a ceiling below the initial rank trips on the first iteration
+    with pytest.raises(Exception, match="int64-safe ceiling"):
+        pagerank_int(edges, iterations=1, _max_rank=999_999).collect()
