@@ -608,6 +608,71 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["incremental_kg_triples"] = incremental_kg_triples
 
+    def _gate_kg(spark):
+        """The shared 300-page KG for the graph-analytics gate queries —
+        same construction as kg_pages_triples but max_mappings=2 (each
+        mention links up to two entities: a denser co-mention graph, so
+        the pair join / cap / lift arithmetic is exercised on more than a
+        handful of rows)."""
+        from ontology_mapper_spark.pipeline import construct_kg
+        from ontology_mapper_spark.sources.pages import synthesize_pages
+
+        return construct_kg(
+            synthesize_pages(spark, 300),
+            fixture_onto_terms(spark),
+            MappingConfig(max_mappings=2),
+        )
+
+    def entity_cooccur(spark, sf):
+        """Entity co-mention graph over the KG's mapping triples:
+        (entity_a, entity_b, co_count, lift_milli) with the lift computed
+        in exact DECIMAL(38,0) integer arithmetic (hash-comparable across
+        engines, the pagerank_int discipline). The oracle replays the
+        page->entity projection, the deterministic per-page entity cap,
+        the url self-join and the HUGEINT floor-division lift."""
+        from ontology_mapper_spark.operators.graph import entity_cooccurrence
+
+        return entity_cooccurrence(_gate_kg(spark), max_entities_per_page=64)
+
+    q["entity_cooccur"] = entity_cooccur
+
+    def entity_components(spark, sf):
+        """Connected components over the co-occurrence graph restricted to
+        pairs co-mentioned on >= 2 pages — the KG's entity-community
+        surface, exercising graph.connected_components (the public facade
+        over the pointer-doubling min-label propagation). Oracled by a
+        recursive-CTE reachability closure over the identical pair set."""
+        from ontology_mapper_spark.operators.graph import (
+            connected_components,
+            entity_cooccurrence,
+        )
+
+        pairs = entity_cooccurrence(
+            _gate_kg(spark), max_entities_per_page=64
+        ).filter(F.col("co_count") >= 2)
+        return connected_components(pairs, src="entity_a", dst="entity_b")
+
+    q["entity_components"] = entity_components
+
+    def kg_ntriples(spark, sf):
+        """The FULL KG (mapping triples ∪ ontology hierarchy edges,
+        construct_full_kg) rendered as RDF N-Triples lines via
+        sinks.to_ntriples — predicate mapping to the public SKOS/RDFS/RDF
+        vocabulary plus the IRIREF percent-escape chain, replayed
+        character-for-character in the DuckDB oracle."""
+        from ontology_mapper_spark.pipeline import construct_full_kg
+        from ontology_mapper_spark.sinks import to_ntriples
+        from ontology_mapper_spark.sources.pages import synthesize_pages
+
+        kg = construct_full_kg(
+            synthesize_pages(spark, 300),
+            fixture_onto_terms(spark),
+            MappingConfig(max_mappings=1),
+        )
+        return to_ntriples(kg)
+
+    q["kg_ntriples"] = kg_ntriples
+
     def checkpointed_tfidf(spark, sf):
         """The flagship mapping THROUGH the resumable-checkpoint machinery
         (CheckpointedRun.run, 4 url-hash buckets, whole-corpus IDF via
@@ -868,6 +933,38 @@ final AS (
 
 def _sq(s: str) -> str:
     return s.replace("'", "''")
+
+
+def _nt_escape_sql(expr: str) -> str:
+    """The sinks.to_ntriples IRIREF percent-escape chain as nested DuckDB
+    replace() calls — same pairs, same order (backslash first)."""
+    from ontology_mapper_spark.sinks import IRI_ESCAPES
+
+    for ch, rep in IRI_ESCAPES:
+        expr = f"replace({expr}, '{ch}', '{rep}')"
+    return expr
+
+
+# the co-occurrence pipeline from the tfidf `final` relation; appended to
+# _tfidf_cte by both graph-analytics oracles. Urls contain no '#', so the
+# first-segment split equals the engine's strip-last-fragment triple_url.
+_COOCCUR_CTES = """,
+ents AS (
+  SELECT DISTINCT split_part(source_term_id, '#', 1) AS url, iri AS entity
+  FROM final
+),
+capped AS (
+  SELECT url, entity FROM (
+    SELECT url, entity,
+           row_number() OVER (PARTITION BY url ORDER BY entity) AS rk
+    FROM ents)
+  WHERE rk <= 64
+),
+prs AS (
+  SELECT a.entity AS entity_a, b.entity AS entity_b, count(*) AS co_count
+  FROM capped a JOIN capped b ON a.url = b.url AND a.entity < b.entity
+  GROUP BY 1, 2
+)"""
 
 
 def _mention_vals_cte(rows) -> str:
@@ -1562,6 +1659,94 @@ FROM final"""
 SELECT source_term_id AS subj, 'mappedTo' AS pred, iri AS obj,
        CAST(round(round(score, 3) * 1000) AS INT) AS score_milli
 FROM final"""
+    )
+
+    _kg_cte = _tfidf_cte(
+        min_score=0.3,
+        max_mappings=1,
+        ntop=50,
+        mentions_cte=_kg_mentions_cte(300),
+        onto_sql=_fixture_onto_values_sql("class"),
+    )
+    # the graph-analytics twin: max_mappings=2 (denser co-mention graph)
+    _kg2_cte = _tfidf_cte(
+        min_score=0.3,
+        max_mappings=2,
+        ntop=50,
+        mentions_cte=_kg_mentions_cte(300),
+        onto_sql=_fixture_onto_values_sql("class"),
+    )
+
+    # exact-integer lift: HUGEINT numerator (the Spark side computes the
+    # identical floor quotient in DECIMAL(38,0)); both floor-divide
+    # positive operands, so the milli value is bit-identical.
+    o["entity_cooccur"] = (
+        _kg2_cte
+        + _COOCCUR_CTES
+        + """,
+cnts AS (SELECT entity, count(*) AS n FROM capped GROUP BY 1),
+tot AS (SELECT count(DISTINCT url) AS n_pages FROM capped)
+SELECT entity_a, entity_b, CAST(co_count AS BIGINT) AS co_count,
+       CAST((CAST(1000 AS HUGEINT) * co_count * t.n_pages)
+            // (CAST(ca.n AS HUGEINT) * cb.n) AS BIGINT) AS lift_milli
+FROM prs
+JOIN cnts ca ON prs.entity_a = ca.entity
+JOIN cnts cb ON prs.entity_b = cb.entity
+CROSS JOIN tot t"""
+    )
+
+    # recursive reachability closure over the SAME >=2-page pair set —
+    # mirrors the engine's min-label propagation (cluster = min reachable)
+    o["entity_components"] = (
+        _kg2_cte.replace("WITH ", "WITH RECURSIVE ", 1)
+        + _COOCCUR_CTES
+        + """,
+strong AS (SELECT entity_a, entity_b FROM prs WHERE co_count >= 2),
+sym AS (
+  SELECT entity_a AS doc, entity_b AS nbr FROM strong
+  UNION SELECT entity_b, entity_a FROM strong
+),
+reach(doc, r) AS (
+  SELECT DISTINCT doc, doc FROM sym
+  UNION
+  SELECT s.doc, r.r FROM sym s JOIN reach r ON s.nbr = r.doc
+)
+SELECT doc AS node, min(r) AS component FROM reach GROUP BY doc"""
+    )
+
+    # full KG (mapping ∪ hierarchy) as N-Triples lines; predicate IRIs and
+    # the IRIREF escape chain replayed from sinks.to_ntriples
+    from ontology_mapper_spark.sinks import NT_PRED_IRIS
+
+    _edge_vals = []
+    for _r in fixture_ontology_rows():
+        for _p in _r["parents"]:
+            _edge_vals.append(
+                f"('{_sq(_r['iri'])}', '{NT_PRED_IRIS['IS_A']}', '{_sq(_p)}')"
+            )
+        for _inst in _r["instances"]:
+            _edge_vals.append(
+                f"('{_sq(_inst)}', '{NT_PRED_IRIS['INSTANCE_OF']}', "
+                f"'{_sq(_r['iri'])}')"
+            )
+    _edge_vals_sql = ",\n    ".join(_edge_vals)
+    o["kg_ntriples"] = (
+        _kg_cte
+        + f""",
+map_t AS (
+  SELECT source_term_id AS subj,
+         '{NT_PRED_IRIS["mappedTo"]}' AS pred_iri, iri AS obj
+  FROM final
+),
+edge_t AS (
+  SELECT * FROM (VALUES
+    {_edge_vals_sql}
+  ) AS t(subj, pred_iri, obj)
+),
+allt AS (SELECT * FROM map_t UNION ALL SELECT * FROM edge_t)
+SELECT '<' || {_nt_escape_sql("subj")} || '> <' || {_nt_escape_sql("pred_iri")}
+       || '> <' || {_nt_escape_sql("obj")} || '> .' AS nt
+FROM allt"""
     )
 
     # sha256(varchar) in DuckDB hashes the UTF-8 bytes == Spark

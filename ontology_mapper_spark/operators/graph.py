@@ -178,6 +178,112 @@ def pagerank_int(
     return ranks.select("node", F.col("r").alias("rank_micro"))
 
 
+def entity_cooccurrence(
+    triples: DataFrame,
+    max_entities_per_page: int = 64,
+    mapped_pred: str = "mappedTo",
+) -> DataFrame:
+    """Entity co-mention graph over the KG's mapping triples — the standard
+    KG-construction step the reference stops short of (text2term emits
+    per-term mappings; a graph consumer wants which entities appear on the
+    SAME page). Returns ``(entity_a, entity_b, co_count, lift_milli)`` with
+    ``entity_a < entity_b``.
+
+    ``lift_milli`` is milli-scaled lift ``P(a,b) / (P(a) P(b))`` computed
+    entirely in exact integer arithmetic —
+    ``(1000 * co_count * n_pages) div (cnt_a * cnt_b)`` with DECIMAL(38,0)
+    intermediates (at 10^12 pages the numerator reaches ~10^27, past
+    int64; the quotient itself is <= 1000 * n_pages and fits a BIGINT) —
+    so the result is bit-identical across engines and partitionings, the
+    same hash-comparable discipline as ``pagerank_int``.
+
+    Scale shape: the page->entity projection is deduped with one shuffle
+    on (url, entity); the pair join shuffles on ``url`` only, and the
+    per-page entity cap (deterministic: rank by entity id within the
+    page) bounds the per-key fan-out at cap^2/2 rows — a mega-hub page
+    cannot quadratically explode a partition, the analog of the dedup
+    module's hot-bucket guard. Entity page-counts and the page total are
+    tiny aggregates broadcast back onto the pair relation.
+    """
+    from pyspark.sql import Window
+
+    from ontology_mapper_spark.pipeline import triple_url
+
+    ents = (
+        triples.filter(F.col("pred") == mapped_pred)
+        .select(triple_url("subj").alias("url"), F.col("obj").alias("entity"))
+        .distinct()
+    )
+    w = Window.partitionBy("url").orderBy("entity")
+    # eager pin: three consumers (pairs, per-entity counts, page total)
+    # would otherwise each replay the distinct + window
+    capped = (
+        ents.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= max_entities_per_page)
+        .drop("_rk")
+        .localCheckpoint()
+    )
+    a = capped.select("url", F.col("entity").alias("entity_a"))
+    b = capped.select("url", F.col("entity").alias("entity_b"))
+    pairs = (
+        a.join(b, "url")
+        .filter(F.col("entity_a") < F.col("entity_b"))
+        .groupBy("entity_a", "entity_b")
+        .agg(F.count(F.lit(1)).alias("co_count"))
+    )
+    cnts = capped.groupBy("entity").agg(F.count(F.lit(1)).alias("n_ent"))
+    total = capped.select(F.countDistinct("url").alias("n_pages"))
+    return (
+        pairs.join(
+            F.broadcast(
+                cnts.select(
+                    F.col("entity").alias("entity_a"), F.col("n_ent").alias("_na")
+                )
+            ),
+            "entity_a",
+        )
+        .join(
+            F.broadcast(
+                cnts.select(
+                    F.col("entity").alias("entity_b"), F.col("n_ent").alias("_nb")
+                )
+            ),
+            "entity_b",
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "entity_a",
+            "entity_b",
+            F.col("co_count").cast("long").alias("co_count"),
+            F.expr(
+                "CAST((CAST(1000 AS DECIMAL(38,0)) * co_count * n_pages)"
+                " div (CAST(_na AS DECIMAL(38,0)) * _nb) AS BIGINT)"
+            ).alias("lift_milli"),
+        )
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Connected components over an arbitrary edge relation ->
+    ``(node, component)`` with component = min node id reachable. Thin
+    public facade over the pointer-doubling min-label propagation that
+    backs ``dedup.neardup_clusters`` (O(log diameter) action rounds,
+    localCheckpoint lineage cuts — see its docstring for the physical
+    shape); exposed here because KG consumers want components over
+    co-occurrence / hierarchy edges, not just near-dup pairs."""
+    from ontology_mapper_spark.operators.dedup import neardup_clusters
+
+    pairs = edges.select(F.col(src).alias("doc_a"), F.col(dst).alias("doc_b"))
+    return neardup_clusters(pairs, max_iterations=max_iterations).select(
+        F.col("doc").alias("node"), F.col("cluster_id").alias("component")
+    )
+
+
 def term_graph_nodes_edges(onto_terms: DataFrame) -> tuple[DataFrame, DataFrame]:
     """G4 prep — per-term graph member nodes and edges, as flat DataFrames
     keyed by ``graph_iri``. Node labels resolve as: relation-map value, else

@@ -142,3 +142,69 @@ def write_mappings_partitioned(
     os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, "_metadata.json"), "w") as f:
         json.dump(meta, f, indent=2)
+
+
+# ---------------------------------------------------------------------------
+# N-Triples sink (KG interchange)
+
+# KG predicates -> standard RDF vocabulary: ontology mappings are
+# skos:closeMatch (the SSSOM-conventional predicate for lexical-match
+# mappings), hierarchy is rdfs:subClassOf / rdf:type. All public W3C
+# namespaces.
+NT_PRED_IRIS = {
+    "mappedTo": "http://www.w3.org/2004/02/skos/core#closeMatch",
+    "IS_A": "http://www.w3.org/2000/01/rdf-schema#subClassOf",
+    "INSTANCE_OF": "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+}
+
+# characters N-Triples IRIREF forbids (RDF 1.1 N-Triples §2.4), percent-
+# encoded. Backslash FIRST: later replacements introduce no '\' so the
+# chain is confluent, and the identical chain is replayed in the DuckDB
+# oracle.
+IRI_ESCAPES = (
+    ("\\", "%5C"),
+    ("<", "%3C"),
+    (">", "%3E"),
+    ('"', "%22"),
+    (" ", "%20"),
+    ("{", "%7B"),
+    ("}", "%7D"),
+    ("|", "%7C"),
+    ("^", "%5E"),
+    ("`", "%60"),
+)
+
+
+def _iri_escape(col):
+    for ch, rep in IRI_ESCAPES:
+        col = F.replace(col, F.lit(ch), F.lit(rep))
+    return col
+
+
+def to_ntriples(triples: DataFrame) -> DataFrame:
+    """Render KG triples (``subj``/``pred``/``obj``) as RDF N-Triples
+    lines -> one ``nt`` string column, ready for ``df.write.text`` (the
+    interchange format every triple store loads). Mention subjects
+    (``url#j``) are already IRIs; predicates map through ``NT_PRED_IRIS``
+    (unknown predicates fail LOUDLY — a silent skip would produce a
+    truncated graph). Entirely native column ops (replace/concat): no
+    Python in the row path, trivially parallel, no shuffle."""
+    pred_map = F.create_map(
+        *[F.lit(x) for kv in NT_PRED_IRIS.items() for x in kv]
+    )
+    pred_iri = F.when(
+        F.element_at(pred_map, F.col("pred")).isNull(),
+        F.raise_error(
+            F.concat(F.lit("to_ntriples: unknown predicate "), F.col("pred"))
+        ),
+    ).otherwise(F.element_at(pred_map, F.col("pred")))
+    nt = F.concat(
+        F.lit("<"),
+        _iri_escape(F.col("subj")),
+        F.lit("> <"),
+        _iri_escape(pred_iri),
+        F.lit("> <"),
+        _iri_escape(F.col("obj")),
+        F.lit("> ."),
+    )
+    return triples.select(nt.alias("nt"))

@@ -185,3 +185,102 @@ def test_pagerank_int_overflow_guard(spark):
     # a ceiling below the initial rank trips on the first iteration
     with pytest.raises(Exception, match="int64-safe ceiling"):
         pagerank_int(edges, iterations=1, _max_rank=999_999).collect()
+
+
+# ---------------------------------------------------------------- r4: entity
+# co-occurrence graph, connected-components facade, N-Triples sink
+
+
+def _toy_triples(spark):
+    rows = [
+        ("u1#0", "mappedTo", "E1", 0.9),
+        ("u1#1", "mappedTo", "E2", 0.9),
+        ("u2#0", "mappedTo", "E1", 0.9),
+        ("u2#1", "mappedTo", "E2", 0.9),
+        ("u2#2", "mappedTo", "E3", 0.9),
+        ("u3#0", "mappedTo", "E3", 0.9),
+        # hierarchy edge: must NOT contribute to co-occurrence
+        ("E1", "IS_A", "E9", None),
+    ]
+    return spark.createDataFrame(
+        rows, "subj string, pred string, obj string, score double"
+    )
+
+
+@pytest.mark.spark
+def test_entity_cooccurrence_counts_and_lift(spark):
+    """Known-value graph: 3 pages, E1+E2 co-mentioned twice. Lift in
+    exact milli units: lift(a,b) = 1000 * co * n_pages / (cnt_a * cnt_b),
+    floor division."""
+    from ontology_mapper_spark.operators.graph import entity_cooccurrence
+
+    out = {
+        (r["entity_a"], r["entity_b"]): (r["co_count"], r["lift_milli"])
+        for r in entity_cooccurrence(_toy_triples(spark)).collect()
+    }
+    # n_pages=3; cnt E1=2, E2=2, E3=2
+    assert out == {
+        ("E1", "E2"): (2, 1500),  # 1000*2*3 // (2*2)
+        ("E1", "E3"): (1, 750),   # 1000*1*3 // (2*2)
+        ("E2", "E3"): (1, 750),
+    }
+
+
+@pytest.mark.spark
+def test_entity_cooccurrence_cap_and_dup_mentions(spark):
+    """(a) duplicate mentions of one entity on a page count ONCE; (b) the
+    per-page cap keeps the lexicographically smallest entities,
+    deterministically."""
+    from ontology_mapper_spark.operators.graph import entity_cooccurrence
+
+    rows = [("p#%d" % i, "mappedTo", "E%d" % (i % 5), 0.5) for i in range(10)]
+    # p mentions E0..E4, each twice -> pairs of the capped {E0, E1}
+    df = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, score double"
+    )
+    out = entity_cooccurrence(df, max_entities_per_page=2).collect()
+    assert {(r["entity_a"], r["entity_b"], r["co_count"]) for r in out} == {
+        ("E0", "E1", 1)
+    }
+
+
+@pytest.mark.spark
+def test_connected_components_facade(spark):
+    from ontology_mapper_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [("b", "a"), ("b", "c"), ("x", "y")], ["src", "dst"]
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(edges).collect()
+    }
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+@pytest.mark.spark
+def test_to_ntriples_escape_and_pred_map(spark):
+    from ontology_mapper_spark.sinks import to_ntriples
+
+    df = spark.createDataFrame(
+        [("http://x/a b<c>\\d", "mappedTo", "http://y/{e}|f^g`h\"i", 0.5)],
+        "subj string, pred string, obj string, score double",
+    )
+    [row] = to_ntriples(df).collect()
+    assert row["nt"] == (
+        "<http://x/a%20b%3Cc%3E%5Cd> "
+        "<http://www.w3.org/2004/02/skos/core#closeMatch> "
+        "<http://y/%7Be%7D%7Cf%5Eg%60h%22i> ."
+    )
+
+
+@pytest.mark.spark
+def test_to_ntriples_unknown_pred_raises(spark):
+    from ontology_mapper_spark.sinks import to_ntriples
+
+    df = spark.createDataFrame(
+        [("s", "bogusPred", "o", None)],
+        "subj string, pred string, obj string, score double",
+    )
+    with pytest.raises(Exception, match="unknown predicate"):
+        to_ntriples(df).collect()
