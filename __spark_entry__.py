@@ -673,6 +673,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_ntriples"] = kg_ntriples
 
+    def sssom_mappings(spark, sf):
+        """The pages->mapping flow exported as SSSOM rows (the
+        mapping-community interchange standard): registry-CURIE object
+        ids (native when/regexp projection — the fixture's EFO/OBO
+        prefixes resolve, exercising the CURIE path the demo-ontology
+        pipeline_mappings query cannot), skos/semapv constants, 3dp
+        confidence as exact milli ints. Oracle replays the CURIE rules
+        for both prefix shapes."""
+        from ontology_mapper_spark.pipeline import map_terms_df
+        from ontology_mapper_spark.sinks import to_sssom
+        from ontology_mapper_spark.sources.pages import (
+            detect_mentions,
+            synthesize_pages,
+        )
+
+        mentions = detect_mentions(synthesize_pages(spark, 300))
+        out = map_terms_df(
+            mentions.select("source_term_id", "source_term", "tags"),
+            fixture_onto_terms(spark),
+            MappingConfig(max_mappings=1),
+            tags_absent=True,
+        )
+        s = to_sssom(out)
+        return s.select(
+            "subject_id",
+            "subject_label",
+            "predicate_id",
+            "object_id",
+            "object_label",
+            "mapping_justification",
+            F.round(F.col("confidence") * 1000).cast("int").alias(
+                "confidence_milli"
+            ),
+        )
+
+    q["sssom_mappings"] = sssom_mappings
+
+    def kg_summary(spark, sf):
+        """Per-predicate KG shape metrics over the FULL graph (mapping ∪
+        hierarchy triples) — the graph-materialize monitoring relation."""
+        from ontology_mapper_spark.operators.graph import kg_summary as _ks
+        from ontology_mapper_spark.pipeline import construct_full_kg
+        from ontology_mapper_spark.sources.pages import synthesize_pages
+
+        kg = construct_full_kg(
+            synthesize_pages(spark, 300),
+            fixture_onto_terms(spark),
+            MappingConfig(max_mappings=1),
+        )
+        return _ks(kg)
+
+    q["kg_summary"] = kg_summary
+
     def checkpointed_tfidf(spark, sf):
         """The flagship mapping THROUGH the resumable-checkpoint machinery
         (CheckpointedRun.run, 4 url-hash buckets, whole-corpus IDF via
@@ -1730,6 +1783,61 @@ SELECT doc AS node, min(r) AS component FROM reach GROUP BY doc"""
                 f"'{_sq(_r['iri'])}')"
             )
     _edge_vals_sql = ",\n    ".join(_edge_vals)
+
+    # the same hierarchy edges with the engine's RAW predicate names
+    # (construct_full_kg emits pred='IS_A'/'INSTANCE_OF'; NT mapping
+    # happens only in the N-Triples sink)
+    _raw_edge_vals = []
+    for _r in fixture_ontology_rows():
+        for _p in _r["parents"]:
+            _raw_edge_vals.append(f"('{_sq(_r['iri'])}', 'IS_A', '{_sq(_p)}')")
+        for _inst in _r["instances"]:
+            _raw_edge_vals.append(
+                f"('{_sq(_inst)}', 'INSTANCE_OF', '{_sq(_r['iri'])}')"
+            )
+    _raw_edge_vals_sql = ",\n    ".join(_raw_edge_vals)
+
+    o["kg_summary"] = (
+        _kg_cte
+        + f""",
+allt AS (
+  SELECT source_term_id AS subj, 'mappedTo' AS pred, iri AS obj FROM final
+  UNION ALL
+  SELECT * FROM (VALUES
+    {_raw_edge_vals_sql}
+  ) AS t(subj, pred, obj)
+)
+SELECT pred, CAST(count(*) AS BIGINT) AS n_triples,
+       CAST(count(DISTINCT subj) AS BIGINT) AS n_subjects,
+       CAST(count(DISTINCT obj) AS BIGINT) AS n_objects
+FROM allt GROUP BY pred"""
+    )
+
+    # the engine's curie_from_iri_col rules for the two fixture prefix
+    # shapes: the generic OBO-PURL regex first, then the EFO snapshot
+    # prefix (local-id charset checked), else fall back to the IRI —
+    # exactly sinks.to_sssom's object_id
+    _obo_re = r"^http://purl\.obolibrary\.org/obo/([A-Za-z][A-Za-z0-9]*)_([A-Za-z0-9.]+)$"
+    _curie_sql = f"""CASE
+    WHEN regexp_matches(iri, '{_obo_re}')
+      THEN upper(regexp_extract(iri, '{_obo_re}', 1) || ':'
+                 || regexp_extract(iri, '{_obo_re}', 2))
+    WHEN starts_with(iri, 'http://www.ebi.ac.uk/efo/EFO_')
+         AND regexp_matches(substring(iri, 30), '^[A-Za-z0-9._-]+$')
+      THEN upper('EFO:' || substring(iri, 30))
+    ELSE iri END"""
+
+    o["sssom_mappings"] = (
+        _kg_cte
+        + f"""
+SELECT source_term_id AS subject_id, source_term AS subject_label,
+       'skos:closeMatch' AS predicate_id,
+       {_curie_sql} AS object_id,
+       display_label AS object_label,
+       'semapv:LexicalMatching' AS mapping_justification,
+       CAST(round(round(score, 3) * 1000) AS INT) AS confidence_milli
+FROM final"""
+    )
     o["kg_ntriples"] = (
         _kg_cte
         + f""",

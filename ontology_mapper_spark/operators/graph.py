@@ -263,6 +263,21 @@ def entity_cooccurrence(
     )
 
 
+def kg_summary(triples: DataFrame) -> DataFrame:
+    """Per-predicate KG shape metrics -> ``(pred, n_triples, n_subjects,
+    n_objects)`` — the graph-materialize monitoring row a pipeline
+    operator reads after every build/incremental advance (is the mapping
+    partition growing, did a hierarchy snapshot change size). One
+    partial+final hash aggregate; with the graph table partitioned by
+    ``pred`` (construct_full_kg's layout) each group reads exactly its
+    own partition."""
+    return triples.groupBy("pred").agg(
+        F.count(F.lit(1)).alias("n_triples"),
+        F.countDistinct("subj").alias("n_subjects"),
+        F.countDistinct("obj").alias("n_objects"),
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",

@@ -208,3 +208,79 @@ def to_ntriples(triples: DataFrame) -> DataFrame:
         F.lit("> ."),
     )
     return triples.select(nt.alias("nt"))
+
+
+# ---------------------------------------------------------------------------
+# SSSOM sink (standard mapping interchange)
+
+# SSSOM (Simple Standard for Sharing Ontological Mappings) TSV columns —
+# the mapping-community interchange the reference's CSV predates; a
+# text2term user emitting mappings today would publish this shape.
+SSSOM_COLUMNS = [
+    "subject_id",
+    "subject_label",
+    "predicate_id",
+    "object_id",
+    "object_label",
+    "mapping_justification",
+    "confidence",
+]
+
+
+def to_sssom(
+    mappings: DataFrame,
+    predicate_id: str = "skos:closeMatch",
+    justification: str = "semapv:LexicalMatching",
+) -> DataFrame:
+    """Mappings relation -> SSSOM rows. ``object_id`` is the registry
+    CURIE (native when/regexp projection, no UDF); an unresolvable IRI
+    falls back to the full IRI (SSSOM permits IRIs where no prefix is
+    registered) rather than emitting an empty id. Unmapped rows (empty
+    IRI) carry no SSSOM row. Map-side only — no shuffle."""
+    from ontology_mapper_spark.functions.curie import curie_from_iri_col
+
+    curie = curie_from_iri_col(F.col("mapped_term_iri"))
+    return mappings.filter(F.col("mapped_term_iri") != "").select(
+        F.col("source_term_id").alias("subject_id"),
+        F.col("source_term").alias("subject_label"),
+        F.lit(predicate_id).alias("predicate_id"),
+        F.when(curie != "", curie)
+        .otherwise(F.col("mapped_term_iri"))
+        .alias("object_id"),
+        F.col("mapped_term_label").alias("object_label"),
+        F.lit(justification).alias("mapping_justification"),
+        F.col("mapping_score").alias("confidence"),
+    )
+
+
+def write_sssom_tsv(
+    mappings: DataFrame,
+    path: str,
+    mapping_set_id: str = "https://example.org/mappings/ontology-mapper-spark",
+    curie_map: dict[str, str] | None = None,
+    **to_sssom_kwargs,
+) -> None:
+    """Single-file SSSOM TSV with the embedded-metadata YAML header
+    (``#``-prefixed lines, per the SSSOM spec) — the format-parity twin
+    of ``write_mappings_csv``; at scale write ``to_sssom(...)`` through
+    ``write_mappings_partitioned``'s parquet path instead."""
+    from ontology_mapper_spark.functions.curie import ONTOLOGY_IRIS
+
+    rows = to_sssom(mappings, **to_sssom_kwargs).toPandas()
+    cm = curie_map or {
+        "skos": "http://www.w3.org/2004/02/skos/core#",
+        "semapv": "https://w3id.org/semapv/vocab/",
+        **{
+            p: iri
+            for p, iri in sorted(ONTOLOGY_IRIS.items())
+            if rows["object_id"].str.startswith(p + ":").any()
+        },
+    }
+    with open(path, "w") as f:
+        f.write(f"# mapping_set_id: {mapping_set_id}\n")
+        f.write("# curie_map:\n")
+        for prefix, iri in cm.items():
+            f.write(f"#   {prefix}: {iri}\n")
+        f.write("\t".join(SSSOM_COLUMNS) + "\n")
+        for _, r in rows.iterrows():
+            f.write("\t".join(str(r[c]) for c in SSSOM_COLUMNS) + "\n")

@@ -220,3 +220,80 @@ def test_construct_full_kg_partitioned(spark, pages, onto, tmp_path):
                      ).count() == 0
     assert kg.filter((F.col("pred") == "mappedTo") & F.col("score").isNull()
                      ).count() == 0
+
+
+# ------------------------------------------------------------------- r4:
+# SSSOM export + per-predicate KG summary
+
+
+@pytest.mark.spark
+def test_to_sssom_rows_and_curie_fallback(spark):
+    """Resolvable IRIs project to CURIEs; unresolvable fall back to the
+    full IRI; unmapped rows (empty IRI) carry no SSSOM row."""
+    from ontology_mapper_spark.sinks import to_sssom
+
+    rows = [
+        ("t1", "asthma", "Asthma", "HP:x",
+         "http://purl.obolibrary.org/obo/HP_0002099", 0.912, None),
+        ("t2", "blah", "Thing", "", "http://unknown.example/term/9", 0.5,
+         None),
+        ("t3", "mojito", "", "", "", 0.0, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "source_term_id string, source_term string, mapped_term_label "
+        "string, mapped_term_curie string, mapped_term_iri string, "
+        "mapping_score double, tags array<string>",
+    )
+    out = {r["subject_id"]: r for r in to_sssom(df).collect()}
+    assert set(out) == {"t1", "t2"}
+    assert out["t1"]["object_id"] == "HP:0002099"
+    assert out["t1"]["predicate_id"] == "skos:closeMatch"
+    assert out["t1"]["mapping_justification"] == "semapv:LexicalMatching"
+    assert out["t2"]["object_id"] == "http://unknown.example/term/9"
+
+
+@pytest.mark.spark
+def test_write_sssom_tsv(spark, tmp_path):
+    from ontology_mapper_spark.sinks import SSSOM_COLUMNS, write_sssom_tsv
+
+    rows = [
+        ("t1", "asthma", "Asthma", "HP:x",
+         "http://purl.obolibrary.org/obo/HP_0002099", 0.912, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "source_term_id string, source_term string, mapped_term_label "
+        "string, mapped_term_curie string, mapped_term_iri string, "
+        "mapping_score double, tags array<string>",
+    )
+    path = str(tmp_path / "m.sssom.tsv")
+    write_sssom_tsv(df, path)
+    lines = open(path).read().splitlines()
+    hdr = [ln for ln in lines if ln.startswith("#")]
+    assert any("mapping_set_id" in ln for ln in hdr)
+    assert any(ln.strip("# ").startswith("skos:") for ln in hdr)
+    assert any(ln.strip("# ").startswith("HP:") for ln in hdr)
+    body = [ln for ln in lines if not ln.startswith("#")]
+    assert body[0] == "\t".join(SSSOM_COLUMNS)
+    assert body[1].split("\t")[3] == "HP:0002099"
+
+
+@pytest.mark.spark
+def test_kg_summary_known_values(spark):
+    from ontology_mapper_spark.operators.graph import kg_summary
+
+    rows = [
+        ("u1#0", "mappedTo", "E1", 0.9),
+        ("u1#1", "mappedTo", "E1", 0.9),
+        ("u2#0", "mappedTo", "E2", 0.9),
+        ("E1", "IS_A", "E9", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, score double"
+    )
+    got = {
+        r["pred"]: (r["n_triples"], r["n_subjects"], r["n_objects"])
+        for r in kg_summary(df).collect()
+    }
+    assert got == {"mappedTo": (3, 3, 2), "IS_A": (1, 1, 1)}
