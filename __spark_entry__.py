@@ -608,6 +608,74 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["incremental_kg_triples"] = incremental_kg_triples
 
+    def incremental_kg_onto(spark, sf):
+        """The SECOND incremental axis — the corpus unchanged, the
+        ONTOLOGY released v2 (sources.ontology.fixture_ontology_rows_v2:
+        term removed / synonym removed / term added / label changed /
+        synonym added, one deterministic rule shared with tests and the
+        oracle). Spark runs the INCREMENTAL path
+        (pipeline.incremental_kg_ontology: label-granular delta,
+        affected-mention probe against a delta-sized index, reuse for
+        everything else); DuckDB runs a FULL REBUILD over the v2
+        ontology — hash-exact means incremental == full rebuild. BOTH
+        scoring models are frozen snapshot state shared by the prev
+        build, the incremental run, and the oracle: the source IDF over
+        the (unchanged) corpus, and the label-side gram model
+        (operators.tfidf.target_idf_map) over the LATEST ontology —
+        mirroring the corpus gate, which freezes its source IDF over the
+        latest corpus; a pytest covers the model-frozen-at-PREV
+        direction engine-vs-engine."""
+        from ontology_mapper_spark.operators.tfidf import (
+            source_idf_map,
+            target_idf_map,
+        )
+        from ontology_mapper_spark.pipeline import (
+            build_pipeline_index,
+            construct_kg,
+            incremental_kg_ontology,
+        )
+        from ontology_mapper_spark.sources.ontology import (
+            filter_terms_df,
+            fixture_ontology_rows_v2,
+            onto_labels_df,
+            onto_terms_from_rows,
+        )
+        from ontology_mapper_spark.sources.pages import (
+            detect_mentions,
+            synthesize_pages,
+        )
+
+        cfg = MappingConfig(max_mappings=1)
+        pages = synthesize_pages(spark, 300)
+        v1 = fixture_onto_terms(spark)
+        v2 = onto_terms_from_rows(spark, fixture_ontology_rows_v2())
+        src_idf = source_idf_map(detect_mentions(pages), cfg.ngram_length)
+        tgt_idf = target_idf_map(
+            onto_labels_df(
+                filter_terms_df(
+                    v2, cfg.base_iris, cfg.excl_deprecated, cfg.term_type
+                )
+            ),
+            cfg.ngram_length,
+        )
+        prev_triples = construct_kg(
+            pages, v1, cfg,
+            tfidf_source_idf=src_idf,
+            tfidf_index=build_pipeline_index(v1, cfg, target_idf=tgt_idf),
+        )
+        out = incremental_kg_ontology(
+            pages, prev_triples, v1, v2, cfg,
+            tfidf_source_idf=src_idf, tfidf_target_idf=tgt_idf,
+        )
+        return out.select(
+            "subj",
+            "pred",
+            "obj",
+            F.round(F.col("score") * 1000).cast("int").alias("score_milli"),
+        )
+
+    q["incremental_kg_onto"] = incremental_kg_onto
+
     def _gate_kg(spark):
         """The shared 300-page KG for the graph-analytics gate queries —
         same construction as kg_pages_triples but max_mappings=2 (each
@@ -1061,12 +1129,14 @@ def _kg_latest_mentions_cte(lo: int = 200, hi: int = 350) -> str:
     )
 
 
-def _fixture_onto_values_sql(term_type: str = "class") -> str:
+def _fixture_onto_values_sql(term_type: str = "class", rows=None) -> str:
     """onto_labels of the fixture ontology (labels ∪ synonyms, term_type
     filter, display = first label) as a VALUES clause — mirrors
-    sources.ontology.onto_labels_df over filter_terms_df."""
+    sources.ontology.onto_labels_df over filter_terms_df. ``rows``
+    overrides the snapshot (e.g. ``fixture_ontology_rows_v2`` for the
+    ontology-delta gate's full-rebuild oracle)."""
     vals = []
-    for r in fixture_ontology_rows():
+    for r in rows if rows is not None else fixture_ontology_rows():
         if term_type != "any" and r["term_type"] != term_type:
             continue
         display = r["labels"][0]
@@ -1707,6 +1777,29 @@ FROM final"""
             ntop=50,
             mentions_cte=_kg_latest_mentions_cte(200, 350),
             onto_sql=_fixture_onto_values_sql("class"),
+        )
+        + """
+SELECT source_term_id AS subj, 'mappedTo' AS pred, iri AS obj,
+       CAST(round(round(score, 3) * 1000) AS INT) AS score_milli
+FROM final"""
+    )
+
+    # ontology-delta incremental path (Spark) vs a FULL REBUILD over the
+    # v2 ontology (DuckDB). The frozen label-side model is target_idf_map
+    # over the v2 snapshot, so the oracle's standard tgt_idf formula over
+    # the v2 VALUES IS the frozen model — same device as the corpus gate,
+    # whose frozen source IDF is the latest corpus's own statistic.
+    from ontology_mapper_spark.sources.ontology import (
+        fixture_ontology_rows_v2 as _fx_v2,
+    )
+
+    o["incremental_kg_onto"] = (
+        _tfidf_cte(
+            min_score=0.3,
+            max_mappings=1,
+            ntop=50,
+            mentions_cte=_kg_mentions_cte(300),
+            onto_sql=_fixture_onto_values_sql("class", rows=_fx_v2()),
         )
         + """
 SELECT source_term_id AS subj, 'mappedTo' AS pred, iri AS obj,

@@ -181,8 +181,19 @@ class _TargetIndex:
 
     __slots__ = ("postings", "iris", "displays", "n_labels", "ngram_length")
 
-    def __init__(self, labels: list[tuple[str, str, str]], ngram_length: int):
-        # labels: [(name, iri, display_label)] in label_id order
+    def __init__(
+        self,
+        labels: list[tuple[str, str, str]],
+        ngram_length: int,
+        target_idf: tuple[dict[str, float], int] | None = None,
+    ):
+        # labels: [(name, iri, display_label)] in label_id order.
+        # target_idf: optional FROZEN label-side gram model (idf map +
+        # model label count, from target_idf_map) — the ontology-delta
+        # contract: weights come from the pinned snapshot, not this label
+        # set, so unchanged labels keep bit-identical vectors across
+        # ontology versions. Grams unseen by the model take the df=0
+        # value ln(1 + n_model) + 1.
         self.ngram_length = ngram_length
         self.n_labels = len(labels)
         self.iris = np.array([l[1] for l in labels], dtype=object)
@@ -191,8 +202,15 @@ class _TargetIndex:
         df: Counter = Counter()
         for tf in tfs:
             df.update(tf.keys())
-        n_docs = len(tfs)
-        idf = {g: math.log((1 + n_docs) / (1 + d)) + 1.0 for g, d in df.items()}
+        if target_idf is None:
+            n_docs = len(tfs)
+            idf = {
+                g: math.log((1 + n_docs) / (1 + d)) + 1.0 for g, d in df.items()
+            }
+        else:
+            idf_map, n_model = target_idf
+            unseen = math.log(1.0 + n_model) + 1.0
+            idf = {g: idf_map.get(g, unseen) for g in df}
         post: dict[str, tuple[list[int], list[float]]] = {}
         for lid, tf in enumerate(tfs):
             w = {g: c * idf[g] for g, c in tf.items()}
@@ -236,13 +254,51 @@ def _label_key_cols() -> tuple:
     )
 
 
-def target_postings_df(onto_labels: DataFrame) -> DataFrame:
+def target_idf_map(
+    onto_labels: DataFrame, ngram_length: int = 3
+) -> tuple[dict[str, float], int]:
+    """Freeze the label-side gram IDF model from an ontology snapshot:
+    ``({ngram: ln((1+n_labels)/(1+df)) + 1}, n_labels)`` with df = number
+    of labels containing the gram — exactly the statistic
+    ``target_postings_df`` / ``_TargetIndex`` compute internally. The
+    returned model is SNAPSHOT STATE for ontology-delta maintenance
+    (``pipeline.incremental_kg_ontology``): score every ontology version
+    against one pinned model and unchanged labels keep bit-identical
+    vectors. Vocab-bounded collect (trigram space), same scale class as
+    ``source_idf_map``."""
+    n = onto_labels.count()
+    rows = (
+        onto_labels.select(
+            F.explode(
+                F.array_distinct(
+                    char_wb_ngrams_col(F.col("name"), ngram_length)
+                )
+            ).alias("ngram")
+        )
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .collect()
+    )
+    idf = {
+        r["ngram"]: math.log((1.0 + n) / (1 + r["df"])) + 1.0 for r in rows
+    }
+    return idf, n
+
+
+def target_postings_df(
+    onto_labels: DataFrame,
+    target_idf: tuple[dict[str, float], int] | None = None,
+) -> DataFrame:
     """The ontology side vectorized AS A RELATION: per (label, ngram)
     l2-normalized tf-idf weight, labels identified by the hashed key pair.
     Pure DataFrame — every stage is a keyed aggregate or broadcast-idf
     join, nothing single-task. Shared by ``tfidf_map_inverted_index``
     (joined against the mention grams) and the distributed index builder
-    (collected via Arrow into the CSR postings)."""
+    (collected via Arrow into the CSR postings).
+
+    ``target_idf``: optional frozen model (see ``target_idf_map``) — the
+    computed-IDF aggregate is replaced by a broadcast literal relation,
+    LEFT-joined so grams unseen by the model take ln(1 + n_model) + 1."""
     lbl = onto_labels.select("iri", "is_synonym", "name", *_label_key_cols())
     n_tgt_df = lbl.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     tgt_tf = (
@@ -254,18 +310,30 @@ def target_postings_df(onto_labels: DataFrame) -> DataFrame:
         .groupBy("lk1", "lk2", "ngram")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    tgt_idf = (
-        tgt_tf.groupBy("ngram")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .crossJoin(F.broadcast(n_tgt_df))
-        .select(
-            "ngram",
-            (F.log((1.0 + F.col("n_docs")) / (1 + F.col("df"))) + 1.0).alias("idf"),
+    if target_idf is None:
+        tgt_idf = (
+            tgt_tf.groupBy("ngram")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .crossJoin(F.broadcast(n_tgt_df))
+            .select(
+                "ngram",
+                (F.log((1.0 + F.col("n_docs")) / (1 + F.col("df"))) + 1.0).alias(
+                    "idf"
+                ),
+            )
         )
-    )
-    tgt_w = tgt_tf.join(F.broadcast(tgt_idf), "ngram").withColumn(
-        "w", F.col("tf") * F.col("idf")
-    )
+        tgt_w = tgt_tf.join(F.broadcast(tgt_idf), "ngram").withColumn(
+            "w", F.col("tf") * F.col("idf")
+        )
+    else:
+        idf_map, n_model = target_idf
+        unseen = math.log(1.0 + n_model) + 1.0
+        frozen = onto_labels.sparkSession.createDataFrame(
+            list(idf_map.items()), "ngram string, idf double"
+        )
+        tgt_w = tgt_tf.join(F.broadcast(frozen), "ngram", "left").withColumn(
+            "w", F.col("tf") * F.coalesce(F.col("idf"), F.lit(unseen))
+        )
     tgt_norm = tgt_w.groupBy("lk1", "lk2").agg(
         F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
     )
@@ -302,7 +370,9 @@ def _parse_size(s: str) -> int:
 
 
 def build_target_index(
-    onto_labels: DataFrame, ngram_length: int = 3
+    onto_labels: DataFrame,
+    ngram_length: int = 3,
+    target_idf: tuple[dict[str, float], int] | None = None,
 ) -> _TargetIndex:
     """Build the broadcastable CSR index. Small/non-trigram dimensions
     take the single-collect driver-side path; past
@@ -326,6 +396,7 @@ def build_target_index(
         return _TargetIndex(
             [(r["name"], r["iri"], r["display_label"]) for r in rows],
             ngram_length,
+            target_idf=target_idf,
         )
     # Pre-flight: the attribute collect moves ~300 B/label and the
     # postings collect ~24 posting rows x ~40 B per label (measured on the
@@ -365,7 +436,9 @@ def build_target_index(
     if not caller_persisted:
         onto_labels = onto_labels.persist()
     try:
-        return _build_target_index_large(onto_labels, ngram_length)
+        return _build_target_index_large(
+            onto_labels, ngram_length, target_idf=target_idf
+        )
     finally:
         if not caller_persisted:
             try:
@@ -375,7 +448,9 @@ def build_target_index(
 
 
 def _build_target_index_large(
-    onto_labels: DataFrame, ngram_length: int
+    onto_labels: DataFrame,
+    ngram_length: int,
+    target_idf: tuple[dict[str, float], int] | None = None,
 ) -> _TargetIndex:
     # ordered collect — Spark range-sorts in parallel and the driver
     # receives partitions in order; no global row_number window needed
@@ -386,7 +461,7 @@ def _build_target_index_large(
         .orderBy(*LABEL_ORDER)
         .toPandas()
     )
-    post_pdf = target_postings_df(onto_labels).toPandas()
+    post_pdf = target_postings_df(onto_labels, target_idf=target_idf).toPandas()
     key = pd.DataFrame(
         {
             "lk1": pdf["lk1"],

@@ -85,7 +85,9 @@ def _label_count(labels: DataFrame) -> int:
 
 
 def build_pipeline_index(
-    onto_terms: DataFrame, cfg: MappingConfig | None = None
+    onto_terms: DataFrame,
+    cfg: MappingConfig | None = None,
+    target_idf: tuple[dict[str, float], int] | None = None,
 ):
     """Prebuild the broadcast TF-IDF target index for the given ontology
     snapshot + config filters. The index is a pure function of the
@@ -93,14 +95,21 @@ def build_pipeline_index(
     against one ontology build it once and pass it to ``map_terms_df`` /
     ``construct_kg`` as ``tfidf_index`` — the Spark analog of the
     reference's cache-ontology-then-map flow (``t2t.py:60-77``), saving a
-    per-job driver collect + vectorization over the label table."""
+    per-job driver collect + vectorization over the label table.
+
+    ``target_idf``: optional frozen label-side gram model
+    (``operators.tfidf.target_idf_map``) — required for ontology-delta
+    maintenance (``incremental_kg_ontology``), where every snapshot
+    version must score against one pinned model."""
     from ontology_mapper_spark.operators.tfidf import build_target_index
 
     cfg = cfg or MappingConfig()
     onto = filter_terms_df(
         onto_terms, cfg.base_iris, cfg.excl_deprecated, cfg.term_type
     )
-    return build_target_index(onto_labels_df(onto), cfg.ngram_length)
+    return build_target_index(
+        onto_labels_df(onto), cfg.ngram_length, target_idf=target_idf
+    )
 
 
 def map_terms_df(
@@ -556,5 +565,248 @@ def incremental_kg_delta(
     if retired_urls is not None:
         drop = drop.unionByName(retired_urls.select("url")).distinct()
     return fresh, drop
+
+
+# ---------------------------------------------------------------------------
+# Incremental KG maintenance (ontology deltas)
+#
+# The second axis of KG staleness: the corpus is unchanged but the
+# ONTOLOGY released a new version. A full re-map scores every mention
+# against the new dimension — O(corpus) kernel work for a delta that
+# typically touches a few hundred terms. With the scoring model frozen
+# (source-side IDF per incremental_kg, PLUS the label-side gram model via
+# operators.tfidf.target_idf_map), score(mention, label) is a pure
+# function of the pair, which makes a sound affected-mention analysis
+# possible: only mentions the delta can affect are re-mapped; everything
+# else reuses its previous triple bit-identically.
+
+
+def label_delta(
+    prev_labels: DataFrame, new_labels: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Ontology-release diff at LABEL granularity: ``(added, removed)``
+    over the ``(iri, name, is_synonym, display_label)`` projection. A
+    changed label text or display shows up as one removed + one added
+    row — exactly the granularity the affected-mention analysis needs
+    (a display_label change alone alters the emitted mapping rows even
+    though scores are untouched). Dimension-side EXCEPTs: label tables
+    are broadcast-sized by design, so this never touches fact data."""
+    cols = ["iri", "name", "is_synonym", "display_label"]
+    p, n = prev_labels.select(*cols), new_labels.select(*cols)
+    return n.exceptAll(p), p.exceptAll(n)
+
+
+def incremental_kg_ontology(
+    pages: DataFrame,
+    prev_triples: DataFrame,
+    prev_onto_terms: DataFrame,
+    new_onto_terms: DataFrame,
+    cfg: MappingConfig | None = None,
+    tfidf_source_idf: tuple[dict, int] | None = None,
+    tfidf_target_idf: tuple[dict[str, float], int] | None = None,
+    langs: tuple = ("en",),
+    reextract: bool = False,
+) -> DataFrame:
+    """Advance the KG across an ONTOLOGY release: re-map only the
+    mentions the label delta can affect, reuse every other triple from
+    the previous snapshot. Row-identical to a full
+    ``construct_kg(pages, new_onto_terms, ...)`` rebuild under the same
+    frozen models — the driver-checked hash-exact invariant of gate
+    query ``incremental_kg_onto`` (Spark incremental vs DuckDB full
+    rebuild over the new ontology).
+
+    Soundness of the affected set (over-flagging is safe, under-flagging
+    never happens):
+
+    - ADDED label rows can only change a mention's output if one of them
+      scores ``>= min_score`` for that mention: a sub-threshold candidate
+      cannot appear in the output, and because both the ntop candidate
+      cap and the max_mappings IRI-dedup scan select by DESCENDING score,
+      it can only displace candidates ranked below it — which are then
+      sub-threshold too. So scoring all mentions against an index built
+      from ONLY the added rows (delta-sized — the cheap probe) and
+      flagging ``score >= min_score`` catches every addition-affected
+      mention.
+    - REMOVED label rows only LOWER their IRI's max-over-names score, so
+      they can only affect mentions whose previous output already
+      contains that IRI (a non-output candidate that shrinks or vanishes
+      frees no slot that a supra-threshold candidate was waiting for —
+      the dedup/cap scan never skipped a supra-threshold candidate
+      because of it). Those mentions are read straight off
+      ``prev_triples``.
+
+    Both frozen models are REQUIRED for the TF-IDF mapper: reuse is only
+    valid because score(mention, label) is identical between the
+    previous run and the rebuild, which needs the source-side IDF
+    (corpus state, as in ``incremental_kg``) AND the label-side gram
+    model (``operators.tfidf.target_idf_map`` — snapshot state persisted
+    beside the digest relation) pinned across both. Syntactic metrics
+    are per-pair pure and need nothing; API mappers are external state
+    and are rejected.
+
+    Scale shape: the probe scores the corpus against a delta-sized
+    broadcast index (O(corpus) mention rows x O(delta) labels — the
+    mention scan is the floor, the kernel work is negligible); the
+    re-map scores ONLY affected mentions against the full new index;
+    the label diff itself is dimension-side. Compose with
+    ``incremental_kg`` for a cycle where both corpus and ontology moved:
+    apply the corpus delta first (old ontology), then this function.
+    """
+    fresh, affected = incremental_kg_ontology_delta(
+        pages, prev_triples, prev_onto_terms, new_onto_terms, cfg,
+        tfidf_source_idf=tfidf_source_idf,
+        tfidf_target_idf=tfidf_target_idf,
+        langs=langs, reextract=reextract,
+    )
+    kept = prev_triples.join(
+        affected.withColumnRenamed("source_term_id", "subj"),
+        "subj",
+        "left_anti",
+    )
+    return kept.unionByName(fresh)
+
+
+def incremental_kg_ontology_delta(
+    pages: DataFrame,
+    prev_triples: DataFrame,
+    prev_onto_terms: DataFrame,
+    new_onto_terms: DataFrame,
+    cfg: MappingConfig | None = None,
+    tfidf_source_idf: tuple[dict, int] | None = None,
+    tfidf_target_idf: tuple[dict[str, float], int] | None = None,
+    langs: tuple = ("en",),
+    reextract: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """The CDC form of ``incremental_kg_ontology``: ``(fresh_triples,
+    affected_ids)`` with ``affected_ids(source_term_id)`` the mention ids
+    whose previous triples are invalidated. ``incremental_kg_ontology``
+    == ``prev_triples anti-join affected_ids ∪ fresh_triples`` — the
+    merge-commit shape (Iceberg MERGE on subj) at O(delta) cost."""
+    import dataclasses
+
+    from pyspark import StorageLevel
+
+    from ontology_mapper_spark.operators.tfidf import (
+        build_target_index,
+        tfidf_map_broadcast,
+    )
+    from ontology_mapper_spark.sources.pages import (
+        detect_mentions,
+        extract_text,
+    )
+
+    cfg = cfg or MappingConfig()
+    if cfg.mapper in (Mapper.ZOOMA, Mapper.BIOPORTAL):
+        # before validate(): this is a structural rejection (no transport
+        # configuration can make external-service scores provably reusable)
+        raise ValueError(
+            "incremental_kg_ontology supports the TF-IDF and syntactic "
+            "mappers only: API mappers score against external service "
+            "state, so previous results cannot be proven reusable"
+        )
+    cfg.validate()
+    is_tfidf = cfg.mapper == Mapper.TFIDF
+    if is_tfidf and (tfidf_source_idf is None or tfidf_target_idf is None):
+        raise ValueError(
+            "incremental_kg_ontology with the TF-IDF mapper requires BOTH "
+            "frozen models — tfidf_source_idf (operators.tfidf."
+            "source_idf_map, corpus state) and tfidf_target_idf "
+            "(operators.tfidf.target_idf_map, ontology-snapshot state): "
+            "triple reuse is only valid when fresh and reused rows score "
+            "on the identical model pair that produced prev_triples"
+        )
+    if cfg.dedup_scoring is None:
+        # same default as construct_kg (BOTH mappers — the remap must run
+        # the identical plan a full construct_kg rebuild would)
+        cfg = dataclasses.replace(cfg, dedup_scoring=True)
+
+    prev_onto = filter_terms_df(
+        prev_onto_terms, cfg.base_iris, cfg.excl_deprecated, cfg.term_type
+    )
+    new_onto = filter_terms_df(
+        new_onto_terms, cfg.base_iris, cfg.excl_deprecated, cfg.term_type
+    )
+    added, removed = label_delta(
+        onto_labels_df(prev_onto), onto_labels_df(new_onto)
+    )
+
+    if reextract:
+        pages = extract_text(pages)
+    mentions = detect_mentions(pages, langs=langs).select(
+        "source_term_id", "source_term", "tags"
+    )
+    to_map = post.filter_ignored(mentions)
+
+    # --- addition probe: all mentions vs an index of ONLY the added rows
+    sess = pages.sparkSession
+    n_added = added.count()  # dimension-scale action (label EXCEPT only)
+    if n_added:
+        if is_tfidf:
+            probe_idx = build_target_index(
+                added, cfg.ngram_length, target_idf=tfidf_target_idf
+            )
+            cand = tfidf_map_broadcast(
+                to_map, added, cfg,
+                source_idf=tfidf_source_idf, target_index=probe_idx,
+            )
+        else:
+            cand = syntactic_map_broadcast(to_map, added, cfg)
+        touched_add = (
+            post.filter_min_score(cand, cfg.min_score)
+            .select("source_term_id")
+            .distinct()
+        )
+    else:
+        touched_add = sess.createDataFrame([], "source_term_id string")
+
+    # --- removal flag: prev output rows naming a removed label's IRI
+    touched_rm = (
+        prev_triples.join(
+            F.broadcast(
+                removed.select(F.col("iri").alias("obj")).distinct()
+            ),
+            "obj",
+            "left_semi",
+        )
+        .select(F.col("subj").alias("source_term_id"))
+        .distinct()
+    )
+    affected = touched_add.unionByName(touched_rm).distinct()
+    # pin the affected set: it is referenced by BOTH outputs (the re-map
+    # semi-join and the caller's prev-triples anti-join); unpersisted,
+    # each downstream action replays the probe kernel over the whole
+    # corpus (same hazard as incremental_kg_delta's changed set)
+    affected = affected.persist(StorageLevel.MEMORY_AND_DISK)
+    slot = _ACTIVE_DELTAS.setdefault(id(sess), [])
+    slot.append(affected)
+    if len(slot) > _MAX_DELTA_CACHE:
+        try:
+            slot.pop(0).unpersist()
+        except Exception:
+            pass
+
+    # --- re-map ONLY affected mentions against the full new ontology
+    to_remap = mentions.join(affected, "source_term_id", "left_semi")
+    if is_tfidf:
+        full_idx = build_target_index(
+            onto_labels_df(new_onto), cfg.ngram_length,
+            target_idf=tfidf_target_idf,
+        )
+        mapped = map_terms_df(
+            to_remap, new_onto_terms, cfg,
+            tfidf_source_idf=tfidf_source_idf,
+            tags_absent=True, tfidf_index=full_idx,
+        )
+    else:
+        # pin the EXACT syntactic plan: the TF-IDF-prefiltered variant's
+        # candidate set depends on IDF fitted over its INPUT slice, so a
+        # remap over only the affected mentions could admit different
+        # candidates than a full-corpus run — the exact broadcast plan is
+        # per-pair pure, which is what the reuse proof requires
+        cfg_exact = dataclasses.replace(cfg, candidate_prefilter=False)
+        mapped = map_terms_df(
+            to_remap, new_onto_terms, cfg_exact, tags_absent=True
+        )
+    return mappings_to_triples(mapped), affected
 
 

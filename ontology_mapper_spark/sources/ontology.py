@@ -164,6 +164,52 @@ def fixture_ontology_rows() -> list[dict]:
     return rows
 
 
+def fixture_ontology_rows_v2() -> list[dict]:
+    """Deterministic "next release" of the fixture ontology — the
+    ontology-delta counterpart of ``sources.pages.recrawl_rows``: one
+    rule, shared by the incremental-ontology tests, the
+    ``incremental_kg_onto`` gate query, and its DuckDB full-rebuild
+    oracle. One edit per delta class the affected-mention analysis in
+    ``pipeline.incremental_kg_ontology`` must handle — each targeting a
+    string the deterministic page corpus ACTUALLY mentions (the
+    ``_paragraphs`` rotation ``(i*7+3j) % 14`` reaches vocab indices
+    {0,2,3,6,7,9,10,13} only):
+
+    - term REMOVED: EFO_1001950 "colon disease" — the winning entity for
+      the "colon disease" mentions; its triples must vanish and the
+      mentions re-link to whatever survives (promotion after removal);
+    - synonym REMOVED: "protein level" off EFO_0004747 — the exact name
+      that carries the "protein level" mentions; synonym-granularity
+      removal must re-score them through the remaining names;
+    - term ADDED: EFO_0010001 "carbon monoxide" — a guaranteed-unmapped
+      vocab mention becomes mappable (the unmapped→mapped transition a
+      reused-triples-only scheme would miss);
+    - label CHANGED: HP_0012393 "Allergy" → "Allergy NOS" — changed text
+      is one removed + one added label row AND a display_label change on
+      the term's synonym row; the "allergy" mentions keep matching the
+      EFO allergy term, so this exercises a changed SECOND candidate;
+    - synonym ADDED: "asthma disorder" on EFO_0000270 — flags the
+      "asthma" mentions (scores above min_score) without displacing
+      their exact-match winner: the sound over-flag-and-remap-to-same
+      path."""
+    E, H = EFO + "EFO_", OBO + "HP_"
+    out = []
+    for r in fixture_ontology_rows():
+        iri = r["iri"]
+        if iri == E + "1001950":
+            continue
+        r = dict(r)
+        if iri == E + "0004747":
+            r["synonyms"] = [s for s in r["synonyms"] if s != "protein level"]
+        elif iri == H + "0012393":
+            r["labels"] = ["Allergy NOS"]
+        elif iri == E + "0000270":
+            r["synonyms"] = list(r["synonyms"]) + ["asthma disorder"]
+        out.append(r)
+    out.append(_t(E + "0010001", ["carbon monoxide"], ["CO gas"]))
+    return out
+
+
 _SYNTH_VOCAB = [
     "asthma", "bronchitis", "allergy", "disease", "syndrome", "disorder",
     "measurement", "protein", "level", "acute", "chronic", "respiratory",

@@ -1,0 +1,204 @@
+"""Incremental KG maintenance across ONTOLOGY releases: label-granular
+delta detection, the sound affected-mention analysis, frozen-model
+enforcement, and the headline invariant incremental == full rebuild
+(also driver-checked by the ``incremental_kg_onto`` gate query against
+the full-rebuild SQL). The deterministic v1→v2 ontology delta lives in
+``sources.ontology.fixture_ontology_rows_v2`` — one edit per delta
+class (term removed, synonym removed, term added, label changed,
+synonym added)."""
+
+import dataclasses
+
+import pytest
+from pyspark.sql import functions as F
+
+from ontology_mapper_spark.config import Mapper, MappingConfig
+from ontology_mapper_spark.operators.tfidf import (
+    source_idf_map,
+    target_idf_map,
+)
+from ontology_mapper_spark.pipeline import (
+    build_pipeline_index,
+    construct_kg,
+    incremental_kg_ontology,
+    incremental_kg_ontology_delta,
+    label_delta,
+)
+from ontology_mapper_spark.sources.ontology import (
+    EFO,
+    OBO,
+    filter_terms_df,
+    fixture_ontology_rows_v2,
+    fixture_onto_terms,
+    onto_labels_df,
+    onto_terms_from_rows,
+)
+from ontology_mapper_spark.sources.pages import (
+    detect_mentions,
+    synthesize_pages,
+)
+
+N_PAGES = 90
+REMOVED_IRI = EFO + "EFO_1001950"  # colon disease (term removed)
+ADDED_IRI = EFO + "EFO_0010001"  # carbon monoxide (term added)
+SYN_REMOVED_IRI = EFO + "EFO_0004747"  # lost synonym "protein level"
+CHANGED_IRI = OBO + "HP_0012393"  # label "Allergy" -> "Allergy NOS"
+
+
+def _labels(cfg, terms):
+    return onto_labels_df(
+        filter_terms_df(
+            terms, cfg.base_iris, cfg.excl_deprecated, cfg.term_type
+        )
+    )
+
+
+@pytest.fixture(scope="module")
+def state(spark):
+    """(pages, v1, v2, cfg, src_idf, tgt_idf, prev_triples) — the
+    ontology-release scenario shared by the tests. The label-side model
+    is frozen at the PREVIOUS snapshot (the real-world direction: the
+    model predates the release it must survive)."""
+    cfg = MappingConfig(max_mappings=2)
+    pages = synthesize_pages(spark, N_PAGES).cache()
+    v1 = fixture_onto_terms(spark).cache()
+    v2 = onto_terms_from_rows(spark, fixture_ontology_rows_v2()).cache()
+    src_idf = source_idf_map(detect_mentions(pages), cfg.ngram_length)
+    tgt_idf = target_idf_map(_labels(cfg, v1), cfg.ngram_length)
+    prev_triples = construct_kg(
+        pages, v1, cfg,
+        tfidf_source_idf=src_idf,
+        tfidf_index=build_pipeline_index(v1, cfg, target_idf=tgt_idf),
+    ).cache()
+    return pages, v1, v2, cfg, src_idf, tgt_idf, prev_triples
+
+
+def _key(df):
+    return sorted(
+        (r["subj"], r["pred"], r["obj"], round(r["score"], 9))
+        for r in df.collect()
+    )
+
+
+def test_incremental_equals_full_rebuild(spark, state):
+    pages, v1, v2, cfg, src_idf, tgt_idf, prev = state
+    out = incremental_kg_ontology(
+        pages, prev, v1, v2, cfg,
+        tfidf_source_idf=src_idf, tfidf_target_idf=tgt_idf,
+    )
+    full = construct_kg(
+        pages, v2, cfg,
+        tfidf_source_idf=src_idf,
+        tfidf_index=build_pipeline_index(v2, cfg, target_idf=tgt_idf),
+    )
+    assert _key(out) == _key(full)
+
+
+def test_unmapped_mention_becomes_mapped(spark, state):
+    pages, v1, v2, cfg, src_idf, tgt_idf, prev = state
+    assert prev.filter(F.col("obj") == ADDED_IRI).count() == 0
+    out = incremental_kg_ontology(
+        pages, prev, v1, v2, cfg,
+        tfidf_source_idf=src_idf, tfidf_target_idf=tgt_idf,
+    )
+    # "carbon monoxide" mentions were guaranteed-unmapped under v1 and
+    # must link to the new term — the transition a reuse-only scheme
+    # (or an analysis keyed off prev_triples alone) would miss
+    assert out.filter(F.col("obj") == ADDED_IRI).count() > 0
+
+
+def test_removed_term_triples_gone(spark, state):
+    pages, v1, v2, cfg, src_idf, tgt_idf, prev = state
+    assert prev.filter(F.col("obj") == REMOVED_IRI).count() > 0
+    out = incremental_kg_ontology(
+        pages, prev, v1, v2, cfg,
+        tfidf_source_idf=src_idf, tfidf_target_idf=tgt_idf,
+    )
+    assert out.filter(F.col("obj") == REMOVED_IRI).count() == 0
+
+
+def test_affected_set_is_a_proper_subset(spark, state):
+    """The analysis must actually SAVE work: the affected set excludes
+    most mentions, and every fresh triple's subject is affected."""
+    pages, v1, v2, cfg, src_idf, tgt_idf, prev = state
+    fresh, affected = incremental_kg_ontology_delta(
+        pages, prev, v1, v2, cfg,
+        tfidf_source_idf=src_idf, tfidf_target_idf=tgt_idf,
+    )
+    n_affected = affected.count()
+    n_mentions = detect_mentions(pages).count()
+    assert 0 < n_affected < n_mentions
+    stray = fresh.join(
+        affected.withColumnRenamed("source_term_id", "subj"),
+        "subj",
+        "left_anti",
+    )
+    assert stray.count() == 0
+
+
+def test_empty_delta_reuses_everything(spark, state):
+    pages, v1, _v2, cfg, src_idf, tgt_idf, prev = state
+    fresh, affected = incremental_kg_ontology_delta(
+        pages, prev, v1, v1, cfg,
+        tfidf_source_idf=src_idf, tfidf_target_idf=tgt_idf,
+    )
+    assert affected.count() == 0
+    assert fresh.count() == 0
+    out = incremental_kg_ontology(
+        pages, prev, v1, v1, cfg,
+        tfidf_source_idf=src_idf, tfidf_target_idf=tgt_idf,
+    )
+    assert _key(out) == _key(prev)
+
+
+def test_label_delta_granularity(spark, state):
+    _pages, v1, v2, cfg, *_rest = state
+    added, removed = label_delta(_labels(cfg, v1), _labels(cfg, v2))
+    a = {(r["iri"], r["name"], r["is_synonym"]) for r in added.collect()}
+    r = {(r["iri"], r["name"], r["is_synonym"]) for r in removed.collect()}
+    # term removed: both its label and synonym rows
+    assert (REMOVED_IRI, "colon disease", False) in r
+    assert (REMOVED_IRI, "disease of colon", True) in r
+    # synonym-granularity removal: the label row survives
+    assert (SYN_REMOVED_IRI, "protein level", True) in r
+    assert (SYN_REMOVED_IRI, "protein measurement", False) not in r
+    # term added
+    assert (ADDED_IRI, "carbon monoxide", False) in a
+    # label text change = one removed + one added row, and the synonym
+    # row moves too (its display_label changed with labels[0])
+    assert (CHANGED_IRI, "Allergy", False) in r
+    assert (CHANGED_IRI, "Allergy NOS", False) in a
+    assert (CHANGED_IRI, "Allergic reaction", True) in a
+    assert (CHANGED_IRI, "Allergic reaction", True) in r
+
+
+def test_requires_frozen_models(spark, state):
+    pages, v1, v2, cfg, src_idf, tgt_idf, prev = state
+    with pytest.raises(ValueError, match="BOTH frozen models"):
+        incremental_kg_ontology_delta(
+            pages, prev, v1, v2, cfg, tfidf_source_idf=src_idf
+        )
+    with pytest.raises(ValueError, match="BOTH frozen models"):
+        incremental_kg_ontology_delta(
+            pages, prev, v1, v2, cfg, tfidf_target_idf=tgt_idf
+        )
+    with pytest.raises(ValueError, match="API mappers"):
+        incremental_kg_ontology_delta(
+            pages, prev, v1, v2,
+            dataclasses.replace(cfg, mapper=Mapper.ZOOMA),
+        )
+
+
+def test_syntactic_incremental_equals_full_rebuild(spark, state):
+    """Per-pair-pure mappers need no frozen model; the delta function
+    pins the exact broadcast plan (the prefiltered variant's candidate
+    set is input-slice-dependent)."""
+    pages, v1, v2, _cfg, *_rest = state
+    cfg = MappingConfig(
+        mapper=Mapper.LEVENSHTEIN, max_mappings=2, min_score=0.5,
+        candidate_prefilter=False,
+    )
+    prev = construct_kg(pages, v1, cfg)
+    out = incremental_kg_ontology(pages, prev, v1, v2, cfg)
+    full = construct_kg(pages, v2, cfg)
+    assert _key(out) == _key(full)
