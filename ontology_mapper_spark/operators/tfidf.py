@@ -916,3 +916,40 @@ def load_target_index(path: str) -> _TargetIndex:
         payload["iris"], payload["displays"], payload["postings"],
         payload["ngram_length"],
     )
+
+
+_IDF_MODEL_VERSION = 1
+
+
+def save_idf_model(model: tuple[dict[str, float], int], path: str) -> None:
+    """Persist a frozen IDF model — EITHER side: a ``source_idf_map``
+    result (corpus state, required by ``pipeline.incremental_kg``) or a
+    ``target_idf_map`` result (ontology-snapshot state, required by
+    ``pipeline.incremental_kg_ontology``). The incremental contracts say
+    "the model is snapshot state, persist it beside the digest relation"
+    — this is that persistence, executable. JSON: engine-independent,
+    human-inspectable, and EXACT (Python emits shortest-round-trip
+    doubles, so the load returns bit-identical weights — pinned by
+    test). Driver-local file, like ``save_target_index``."""
+    import json
+
+    idf, n_docs = model
+    with open(path, "w", encoding="utf-8") as f:
+        json.dump(
+            {"version": _IDF_MODEL_VERSION, "n_docs": n_docs, "idf": idf},
+            f,
+        )
+
+
+def load_idf_model(path: str) -> tuple[dict[str, float], int]:
+    import json
+
+    with open(path, encoding="utf-8") as f:
+        payload = json.load(f)
+    if payload.get("version") != _IDF_MODEL_VERSION:
+        raise ValueError(
+            f"IDF model at {path} has version {payload.get('version')!r}; "
+            f"this engine expects {_IDF_MODEL_VERSION} — refit with "
+            "source_idf_map / target_idf_map"
+        )
+    return payload["idf"], payload["n_docs"]

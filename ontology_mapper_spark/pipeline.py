@@ -606,6 +606,7 @@ def incremental_kg_ontology(
     tfidf_target_idf: tuple[dict[str, float], int] | None = None,
     langs: tuple = ("en",),
     reextract: bool = False,
+    full_remap_fraction: float | None = 0.5,
 ) -> DataFrame:
     """Advance the KG across an ONTOLOGY release: re-map only the
     mentions the label delta can affect, reuse every other triple from
@@ -619,14 +620,20 @@ def incremental_kg_ontology(
     never happens):
 
     - ADDED label rows can only change a mention's output if one of them
-      scores ``>= min_score`` for that mention: a sub-threshold candidate
-      cannot appear in the output, and because both the ntop candidate
-      cap and the max_mappings IRI-dedup scan select by DESCENDING score,
-      it can only displace candidates ranked below it — which are then
-      sub-threshold too. So scoring all mentions against an index built
+      could actually ENTER it: the candidate must clear ``min_score``
+      (sub-threshold candidates cannot appear in the output, and because
+      both the ntop cap and the max_mappings IRI-dedup scan select by
+      DESCENDING score they can only displace candidates ranked below
+      them — then sub-threshold too), and, when the mention already
+      holds ``max_mappings`` rows, it must also reach the mention's
+      WORST kept score (anything below it can neither claim a distinct-
+      IRI slot nor raise an output IRI's max-over-names score, which is
+      >= that boundary). So scoring all mentions against an index built
       from ONLY the added rows (delta-sized — the cheap probe) and
-      flagging ``score >= min_score`` catches every addition-affected
-      mention.
+      keeping ``probe_max >= max(min_score, s_min - 5e-4)`` catches
+      every addition-affected mention; the 5e-4 slack covers the 3dp
+      rounding ``prev_triples`` scores carry (a true boundary score can
+      sit half an ulp-of-rounding below its stored value).
     - REMOVED label rows only LOWER their IRI's max-over-names score, so
       they can only affect mentions whose previous output already
       contains that IRI (a non-output candidate that shrinks or vanishes
@@ -651,6 +658,20 @@ def incremental_kg_ontology(
     the label diff itself is dimension-side. Compose with
     ``incremental_kg`` for a cycle where both corpus and ontology moved:
     apply the corpus delta first (old ontology), then this function.
+
+    ``full_remap_fraction``: the regime valve. The affected fraction is
+    DATA-dependent — a release whose added labels share the corpus's
+    head vocabulary can legitimately affect most mentions (measured: a
+    1% delta of generic-vocabulary labels over the bench corpus at
+    min_score=0.3 affects >50% of them), at which point
+    probe+remap+anti-join costs more than simply re-mapping everything.
+    When the affected count exceeds this fraction of the corpus's
+    mentions, fall back to a full ``construct_kg`` over the new
+    ontology — same frozen models, so the OUTPUT IS IDENTICAL either
+    way (the invariant tests and the gate query hold on both sides of
+    the valve); only the physical plan changes. ``None`` disables the
+    valve (always incremental — the CDC form
+    ``incremental_kg_ontology_delta`` never valves, by contract).
     """
     fresh, affected = incremental_kg_ontology_delta(
         pages, prev_triples, prev_onto_terms, new_onto_terms, cfg,
@@ -658,6 +679,32 @@ def incremental_kg_ontology(
         tfidf_target_idf=tfidf_target_idf,
         langs=langs, reextract=reextract,
     )
+    if full_remap_fraction is not None:
+        from ontology_mapper_spark.sources.pages import detect_mentions
+
+        n_affected = affected.count()  # persisted by the delta call
+        n_mentions = detect_mentions(pages, langs=langs).count()
+        if n_affected > full_remap_fraction * n_mentions:
+            import dataclasses
+
+            cfg = cfg or MappingConfig()
+            if cfg.mapper != Mapper.TFIDF:
+                # the incremental side pins the exact syntactic plan
+                # (slice-dependent prefilter candidates); the valve must
+                # produce the identical relation
+                cfg = dataclasses.replace(cfg, candidate_prefilter=False)
+            return construct_kg(
+                pages, new_onto_terms, cfg,
+                langs=langs, reextract=reextract,
+                tfidf_source_idf=tfidf_source_idf,
+                tfidf_index=(
+                    build_pipeline_index(
+                        new_onto_terms, cfg, target_idf=tfidf_target_idf
+                    )
+                    if cfg.mapper == Mapper.TFIDF
+                    else None
+                ),
+            )
     kept = prev_triples.join(
         affected.withColumnRenamed("source_term_id", "subj"),
         "subj",
@@ -751,10 +798,30 @@ def incremental_kg_ontology_delta(
             )
         else:
             cand = syntactic_map_broadcast(to_map, added, cfg)
+        # tighten by the entry bound: a mention already holding
+        # max_mappings rows is only affected if the probe's best reaches
+        # its worst kept score (see the soundness notes in
+        # incremental_kg_ontology). prev scores are 3dp-rounded, so give
+        # back half a rounding step. One aggregate over the probe's
+        # supra-threshold candidates + one over prev_triples, then a
+        # small-small join.
+        prev_stats = prev_triples.groupBy(
+            F.col("subj").alias("source_term_id")
+        ).agg(
+            F.min("score").alias("_s_min"),
+            F.count(F.lit(1)).alias("_n_out"),
+        )
         touched_add = (
             post.filter_min_score(cand, cfg.min_score)
+            .groupBy("source_term_id")
+            .agg(F.max("mapping_score").alias("_s_probe"))
+            .join(prev_stats, "source_term_id", "left")
+            .filter(
+                F.col("_n_out").isNull()
+                | (F.col("_n_out") < cfg.max_mappings)
+                | (F.col("_s_probe") >= F.col("_s_min") - F.lit(5e-4))
+            )
             .select("source_term_id")
-            .distinct()
         )
     else:
         touched_add = sess.createDataFrame([], "source_term_id string")

@@ -189,6 +189,102 @@ def test_requires_frozen_models(spark, state):
         )
 
 
+def test_compose_corpus_then_ontology_delta(spark, state):
+    """A real cycle where BOTH inputs moved: apply the corpus re-crawl
+    under the old ontology (incremental_kg), then the ontology release
+    over the latest corpus (incremental_kg_ontology). The composition
+    must equal one full rebuild over (latest corpus, v2 ontology) under
+    the shared frozen models — the invariant that makes the two delta
+    functions composable building blocks rather than special cases."""
+    from ontology_mapper_spark.pipeline import (
+        incremental_kg,
+        page_digests,
+    )
+    from ontology_mapper_spark.sources.pages import recrawl_pages
+
+    _pages, v1, v2, cfg, _src, tgt_idf, _prev = state
+    prev_pages = synthesize_pages(spark, 60).cache()
+    new_pages = recrawl_pages(spark, 40, 80).cache()
+    latest = (
+        prev_pages.join(new_pages.select("url"), "url", "left_anti")
+        .unionByName(new_pages)
+        .cache()
+    )
+    # both models frozen over the LATEST state (shared by every step)
+    src_idf = source_idf_map(detect_mentions(latest), cfg.ngram_length)
+    prev_triples = construct_kg(
+        prev_pages, v1, cfg,
+        tfidf_source_idf=src_idf,
+        tfidf_index=build_pipeline_index(v1, cfg, target_idf=tgt_idf),
+    )
+    step1 = incremental_kg(
+        new_pages, page_digests(prev_pages), prev_triples, v1, cfg,
+        tfidf_source_idf=src_idf,
+        tfidf_index=build_pipeline_index(v1, cfg, target_idf=tgt_idf),
+    )
+    step2 = incremental_kg_ontology(
+        latest, step1, v1, v2, cfg,
+        tfidf_source_idf=src_idf, tfidf_target_idf=tgt_idf,
+    )
+    full = construct_kg(
+        latest, v2, cfg,
+        tfidf_source_idf=src_idf,
+        tfidf_index=build_pipeline_index(v2, cfg, target_idf=tgt_idf),
+    )
+    assert _key(step2) == _key(full)
+
+
+def test_idf_model_round_trip_is_bit_exact(tmp_path, state):
+    """save_idf_model/load_idf_model — the executable form of 'the model
+    is snapshot state, persist it beside the digests'. JSON round-trip
+    must be BIT-exact (shortest-round-trip doubles), or reused and fresh
+    triples would silently score on different models after a restart."""
+    from ontology_mapper_spark.operators.tfidf import (
+        load_idf_model,
+        save_idf_model,
+    )
+
+    _p, _v1, _v2, _cfg, src_idf, tgt_idf, _prev = state
+    for model in (src_idf, tgt_idf):
+        path = str(tmp_path / "model.json")
+        save_idf_model(model, path)
+        idf2, n2 = load_idf_model(path)
+        assert n2 == model[1]
+        assert idf2 == model[0]  # dict equality on floats == bit equality
+    with pytest.raises(ValueError, match="version"):
+        (tmp_path / "bad.json").write_text('{"version": 99}')
+        load_idf_model(str(tmp_path / "bad.json"))
+
+
+def test_full_remap_valve_is_output_invariant(spark, state):
+    """The regime valve (``full_remap_fraction``) changes the PHYSICAL
+    plan only: forcing it (fraction=0.0 — any affected mention trips it)
+    must produce the identical relation as the always-incremental path
+    and as a full rebuild, for both the TF-IDF and syntactic mappers."""
+    pages, v1, v2, cfg, src_idf, tgt_idf, prev = state
+    valved = incremental_kg_ontology(
+        pages, prev, v1, v2, cfg,
+        tfidf_source_idf=src_idf, tfidf_target_idf=tgt_idf,
+        full_remap_fraction=0.0,
+    )
+    full = construct_kg(
+        pages, v2, cfg,
+        tfidf_source_idf=src_idf,
+        tfidf_index=build_pipeline_index(v2, cfg, target_idf=tgt_idf),
+    )
+    assert _key(valved) == _key(full)
+
+    syn_cfg = MappingConfig(
+        mapper=Mapper.LEVENSHTEIN, max_mappings=2, min_score=0.5,
+        candidate_prefilter=False,
+    )
+    syn_prev = construct_kg(pages, v1, syn_cfg)
+    syn_valved = incremental_kg_ontology(
+        pages, syn_prev, v1, v2, syn_cfg, full_remap_fraction=0.0
+    )
+    assert _key(syn_valved) == _key(construct_kg(pages, v2, syn_cfg))
+
+
 def test_syntactic_incremental_equals_full_rebuild(spark, state):
     """Per-pair-pure mappers need no frozen model; the delta function
     pins the exact broadcast plan (the prefiltered variant's candidate
