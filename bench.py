@@ -360,6 +360,29 @@ def _kg_run(cores: int, n_pages: int) -> None:
     ))
 
 
+def _kg_checksum(df) -> tuple[int, int]:
+    """Order-independent (sum of per-row crc32) equality fingerprint over
+    a triple relation — full-vs-incremental proofs compare (hash, count).
+    crc32 is 32-bit: 10^7 rows sum to < 2^56, no ANSI sum overflow. Sum
+    over zero rows is NULL — an empty relation must compare as (0, 0),
+    not crash the subprocess."""
+    from pyspark.sql import functions as F
+
+    r = df.agg(
+        F.sum(
+            F.crc32(
+                F.concat_ws(
+                    "|", "subj", "obj",
+                    F.round(F.col("score") * 1000).cast("long")
+                    .cast("string"),
+                )
+            )
+        ).alias("h"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    return int(r["h"] or 0), int(r["n"])
+
+
 def _incremental_run(cores: int, n_pages: int) -> None:
     """Wrapper: the scratch dir (multiple GB of page parquet at bench
     scale) must not survive a mid-run failure — rmtree runs on EVERY
@@ -458,24 +481,7 @@ def _incremental_run_impl(cores: int, n_pages: int, snap: str) -> None:
         new.select("url"), "url", "left_anti"
     ).unionByName(new)
 
-    def _checksum(df):
-        # crc32 is 32-bit: 10^7 rows sum to < 2^56, no ANSI sum overflow
-        r = df.agg(
-            F.sum(
-                F.crc32(
-                    F.concat_ws(
-                        "|", "subj", "obj",
-                        F.round(F.col("score") * 1000).cast("long")
-                        .cast("string"),
-                    )
-                )
-            ).alias("h"),
-            F.count(F.lit(1)).alias("n"),
-        ).collect()[0]
-        # sum over zero rows is NULL — an empty relation must compare as
-        # (0, 0), not crash the subprocess
-        return int(r["h"] or 0), int(r["n"])
-
+    _checksum = _kg_checksum
     kw = dict(tfidf_source_idf=idf, tfidf_index=index)
     # full rebuild re-extracts text from html for the whole corpus — the
     # per-capture cost a real WARC pipeline pays, O(corpus) here
@@ -518,6 +524,183 @@ def _incremental_run_impl(cores: int, n_pages: int, snap: str) -> None:
         "triples": n_full,
         "fresh_triples": n_fresh,
         "dropped_urls": n_drop,
+        "checksum_match": match,
+    }))
+
+
+def _onto_rows_v2(n_terms: int) -> list[dict]:
+    """Deterministic 'next release' of the synthetic bench ontology —
+    ~1% of terms touched, one rule per delta class the affected-mention
+    analysis in ``pipeline.incremental_kg_ontology`` handles: 0.5% of
+    terms REMOVED (every 200th), 0.5% brand-new terms ADDED (the
+    generator rule extended past ``n_terms`` — same vocabulary, so added
+    labels genuinely share grams with corpus mentions, the regime the
+    probe must survive), a label CHANGED on every 211th survivor, a
+    synonym ADDED to every 307th."""
+    rows = synthesize_ontology_rows(int(n_terms * 1.005))
+    out = []
+    for k, r in enumerate(rows):
+        if k < n_terms:
+            if k % 200 == 100:
+                continue
+            if k % 211 == 5:
+                r = dict(r, labels=[r["labels"][0] + " nos"])
+            if k % 307 == 11:
+                r = dict(
+                    r,
+                    synonyms=list(r["synonyms"])
+                    + [r["labels"][0] + " disorder"],
+                )
+        out.append(r)
+    return out
+
+
+def _onto_run(cores: int, n_pages: int, n_terms: int = ONTO_TERMS) -> None:
+    """Wrapper: scratch-dir hygiene as in ``_incremental_run``."""
+    import shutil
+    import tempfile
+
+    snap = tempfile.mkdtemp(prefix="bench_onto_inc_")
+    try:
+        _onto_run_impl(cores, n_pages, n_terms, snap)
+    finally:
+        shutil.rmtree(snap, ignore_errors=True)
+
+
+def _onto_run_impl(cores: int, n_pages: int, n_terms: int, snap: str) -> None:
+    """The SECOND incremental axis, measured: corpus unchanged, ontology
+    released v2 (``_onto_rows_v2`` — ~1% of terms touched). Previous-cycle
+    state (the materialized MENTION table — corpus state, reused by every
+    leg via ``mentions_table``/``construct_kg_from_mentions`` since the
+    corpus did not change — plus v1 triples and the frozen source- and
+    label-side IDF models) is built UNTIMED, and so is the v2 broadcast
+    index (``tfidf_new_index`` — the same amortization ``construct_kg``
+    gets via ``tfidf_index``), so the timed legs compare per-release
+    linking work, not index construction or page-payload scans:
+
+    - ``sec_full_rebuild``: construct_kg over (corpus, v2).
+    - ``sec_delta``: incremental_kg_ontology_delta — label diff + probe +
+      re-map of affected mentions only (the Iceberg-MERGE CDC shape).
+    - ``sec_incremental_materialized``: the full merged relation with the
+      regime valve DISABLED — the always-incremental plan, so the number
+      measures the incremental machinery even when the affected fraction
+      is high (the valve's own policy is reported, not timed: it would
+      just re-run one of the two legs already measured).
+
+    ``affected_fraction`` is the key scale statistic: with added labels
+    drawn from the corpus's own vocabulary the probe legitimately flags
+    many mentions, and the default valve (0.5) decides which physical
+    plan a deployment would run. Equality full ≡ incremental is asserted
+    UNTIMED by order-independent checksum."""
+    from ontology_mapper_spark.operators.tfidf import (
+        source_idf_map,
+        target_idf_map,
+    )
+    from ontology_mapper_spark.pipeline import (
+        build_pipeline_index,
+        construct_kg_from_mentions,
+        incremental_kg_ontology,
+        incremental_kg_ontology_delta,
+    )
+    from ontology_mapper_spark.sources.ontology import (
+        filter_terms_df,
+        onto_labels_df,
+    )
+    from ontology_mapper_spark.sources.pages import (
+        detect_mentions,
+        extract_text,
+    )
+
+    spark = get_spark(f"bench-onto-{cores}", cores=cores,
+                      shuffle_partitions=max(cores * 2, 16))
+    cfg = MappingConfig(min_score=0.3, max_mappings=3)
+    # ---- previous-cycle state, all untimed: extracted corpus (pages are
+    # DATA — re-rendering the generator per action would charge synthesis
+    # to whichever leg acts first), v1/v2 ontology parquet, frozen models,
+    # v1 triples
+    variants = max(997, n_pages // 30)
+    extract_text(
+        synthesize_pages(spark, n_pages, variants=variants)
+    ).write.mode("overwrite").parquet(os.path.join(snap, "pages"))
+    pages = spark.read.parquet(os.path.join(snap, "pages"))
+    onto_terms_from_rows(
+        spark, synthesize_ontology_rows(n_terms)
+    ).write.mode("overwrite").parquet(os.path.join(snap, "onto_v1"))
+    onto_terms_from_rows(
+        spark, _onto_rows_v2(n_terms)
+    ).write.mode("overwrite").parquet(os.path.join(snap, "onto_v2"))
+    v1 = spark.read.parquet(os.path.join(snap, "onto_v1"))
+    v2 = spark.read.parquet(os.path.join(snap, "onto_v2"))
+    # the MENTION table is corpus state from the prior cycle (the corpus
+    # is unchanged on an ontology release): materialized untimed, read by
+    # every leg — no path pays the page-payload extract+detect scan
+    detect_mentions(pages).write.mode("overwrite").parquet(
+        os.path.join(snap, "mentions")
+    )
+    mentions = spark.read.parquet(os.path.join(snap, "mentions"))
+    n_mentions = mentions.count()
+    src_idf = source_idf_map(mentions, cfg.ngram_length)
+    tgt_idf = target_idf_map(
+        onto_labels_df(
+            filter_terms_df(
+                v1, cfg.base_iris, cfg.excl_deprecated, cfg.term_type
+            )
+        ),
+        cfg.ngram_length,
+    )
+    construct_kg_from_mentions(
+        mentions, v1, cfg,
+        tfidf_source_idf=src_idf,
+        tfidf_index=build_pipeline_index(v1, cfg, target_idf=tgt_idf),
+    ).write.mode("overwrite").parquet(os.path.join(snap, "triples"))
+    prev_triples = spark.read.parquet(os.path.join(snap, "triples"))
+    index_v2 = build_pipeline_index(v2, cfg, target_idf=tgt_idf)
+
+    # ---- timed: full rebuild over v2 (same mention table)
+    full_df = construct_kg_from_mentions(
+        mentions, v2, cfg,
+        tfidf_source_idf=src_idf, tfidf_index=index_v2,
+    )
+    t0 = time.time()
+    n_full = full_df.count()
+    sec_full = time.time() - t0
+    # ---- timed: CDC delta (probe + re-map of affected only)
+    t0 = time.time()
+    fresh, affected = incremental_kg_ontology_delta(
+        pages, prev_triples, v1, v2, cfg,
+        tfidf_source_idf=src_idf, tfidf_target_idf=tgt_idf,
+        tfidf_new_index=index_v2, mentions_table=mentions,
+    )
+    n_fresh, n_affected = fresh.count(), affected.count()
+    sec_delta = time.time() - t0
+    # ---- timed: merged relation, valve off (always-incremental plan)
+    inc_df = incremental_kg_ontology(
+        pages, prev_triples, v1, v2, cfg,
+        tfidf_source_idf=src_idf, tfidf_target_idf=tgt_idf,
+        tfidf_new_index=index_v2, mentions_table=mentions,
+        full_remap_fraction=None,
+    )
+    t0 = time.time()
+    inc_df.count()
+    sec_inc = time.time() - t0
+    match = _kg_checksum(full_df) == _kg_checksum(inc_df)
+    frac = n_affected / max(n_mentions, 1)
+    spark.stop()
+    print(json.dumps({
+        "pages": n_pages,
+        "onto_terms_v1": n_terms,
+        "mentions": n_mentions,
+        "affected_mentions": n_affected,
+        "affected_fraction": round(frac, 4),
+        "sec_full_rebuild": round(sec_full, 3),
+        "sec_delta": round(sec_delta, 3),
+        "sec_incremental_materialized": round(sec_inc, 3),
+        "delta_speedup": round(sec_full / sec_delta, 2),
+        "valve_default_plan": (
+            "full_rebuild" if frac > 0.5 else "incremental"
+        ),
+        "triples": n_full,
+        "fresh_triples": n_fresh,
         "checksum_match": match,
     }))
 
@@ -678,6 +861,25 @@ def main() -> None:
             "error": f"incremental subprocess rc={out.returncode}",
             "stderr_tail": out.stderr[-2000:],
         }
+    # ---- ontology-release incremental vs full rebuild (second axis:
+    # corpus unchanged, dimension released v2 with ~1% of terms touched)
+    onto_pages = int(
+        os.environ.get("BENCH_ONTO_PAGES", str(max(4000, N_PAGES)))
+    )
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--onto-run",
+         str(min(8, CPUS)), str(onto_pages)],
+        capture_output=True, text=True,
+    )
+    try:
+        results["incremental_onto"] = json.loads(
+            out.stdout.strip().splitlines()[-1]
+        )
+    except (json.JSONDecodeError, IndexError):
+        results["incremental_onto"] = {
+            "error": f"onto subprocess rc={out.returncode}",
+            "stderr_tail": out.stderr[-2000:],
+        }
 
     results["metric"] = "suite_sec"
     results["value"] = round(sum(times.values()), 3)
@@ -691,5 +893,8 @@ if __name__ == "__main__":
         _bigdim_run(int(sys.argv[2]), int(sys.argv[3]))
     elif len(sys.argv) > 1 and sys.argv[1] == "--incremental-run":
         _incremental_run(int(sys.argv[2]), int(sys.argv[3]))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--onto-run":
+        _onto_run(int(sys.argv[2]), int(sys.argv[3]),
+                  *([int(sys.argv[4])] if len(sys.argv) > 4 else []))
     else:
         main()

@@ -326,6 +326,40 @@ def construct_kg(
     return mappings_to_triples(mappings)
 
 
+def construct_kg_from_mentions(
+    mentions: DataFrame,
+    onto_terms: DataFrame,
+    cfg: MappingConfig | None = None,
+    tfidf_source_idf: tuple[dict, int] | None = None,
+    tfidf_index=None,
+) -> DataFrame:
+    """KG mapping triples from an already-materialized MENTION table —
+    the ``detect_mentions`` output persisted in the lakehouse. Mentions
+    are corpus state, independent of the ontology: a deployment detects
+    once per crawl cycle and reuses the table across ontology releases,
+    scoring-config sweeps, and re-linking runs, skipping the
+    extract+detect scan over the page payload (orders of magnitude wider
+    than the mention projection at web scale). Row-identical to
+    ``construct_kg`` over the pages that produced the table (pinned by
+    test)."""
+    import dataclasses
+
+    cfg = cfg or MappingConfig()
+    if cfg.dedup_scoring is None:
+        # same default as construct_kg — one cluster-wide score per
+        # distinct mention string
+        cfg = dataclasses.replace(cfg, dedup_scoring=True)
+    mapped = map_terms_df(
+        mentions.select("source_term_id", "source_term", "tags"),
+        onto_terms,
+        cfg,
+        tfidf_source_idf=tfidf_source_idf,
+        tags_absent=True,
+        tfidf_index=tfidf_index,
+    )
+    return mappings_to_triples(mapped)
+
+
 def construct_full_kg(
     pages: DataFrame,
     onto_terms: DataFrame,
@@ -604,6 +638,8 @@ def incremental_kg_ontology(
     cfg: MappingConfig | None = None,
     tfidf_source_idf: tuple[dict, int] | None = None,
     tfidf_target_idf: tuple[dict[str, float], int] | None = None,
+    tfidf_new_index=None,
+    mentions_table: DataFrame | None = None,
     langs: tuple = ("en",),
     reextract: bool = False,
     full_remap_fraction: float | None = 0.5,
@@ -672,18 +708,29 @@ def incremental_kg_ontology(
     the valve); only the physical plan changes. ``None`` disables the
     valve (always incremental — the CDC form
     ``incremental_kg_ontology_delta`` never valves, by contract).
+
+    ``tfidf_new_index`` / ``mentions_table``: amortizable prior state —
+    see ``incremental_kg_ontology_delta``'s docstring for the exact
+    contracts (same-config same-model index; detection output for this
+    exact corpus).
     """
     fresh, affected = incremental_kg_ontology_delta(
         pages, prev_triples, prev_onto_terms, new_onto_terms, cfg,
         tfidf_source_idf=tfidf_source_idf,
         tfidf_target_idf=tfidf_target_idf,
+        tfidf_new_index=tfidf_new_index,
+        mentions_table=mentions_table,
         langs=langs, reextract=reextract,
     )
     if full_remap_fraction is not None:
         from ontology_mapper_spark.sources.pages import detect_mentions
 
         n_affected = affected.count()  # persisted by the delta call
-        n_mentions = detect_mentions(pages, langs=langs).count()
+        n_mentions = (
+            mentions_table
+            if mentions_table is not None
+            else detect_mentions(pages, langs=langs)
+        ).count()
         if n_affected > full_remap_fraction * n_mentions:
             import dataclasses
 
@@ -693,17 +740,27 @@ def incremental_kg_ontology(
                 # (slice-dependent prefilter candidates); the valve must
                 # produce the identical relation
                 cfg = dataclasses.replace(cfg, candidate_prefilter=False)
+            idx = (
+                (
+                    tfidf_new_index
+                    if tfidf_new_index is not None
+                    else build_pipeline_index(
+                        new_onto_terms, cfg, target_idf=tfidf_target_idf
+                    )
+                )
+                if cfg.mapper == Mapper.TFIDF
+                else None
+            )
+            if mentions_table is not None:
+                return construct_kg_from_mentions(
+                    mentions_table, new_onto_terms, cfg,
+                    tfidf_source_idf=tfidf_source_idf, tfidf_index=idx,
+                )
             return construct_kg(
                 pages, new_onto_terms, cfg,
                 langs=langs, reextract=reextract,
                 tfidf_source_idf=tfidf_source_idf,
-                tfidf_index=(
-                    build_pipeline_index(
-                        new_onto_terms, cfg, target_idf=tfidf_target_idf
-                    )
-                    if cfg.mapper == Mapper.TFIDF
-                    else None
-                ),
+                tfidf_index=idx,
             )
     kept = prev_triples.join(
         affected.withColumnRenamed("source_term_id", "subj"),
@@ -721,6 +778,8 @@ def incremental_kg_ontology_delta(
     cfg: MappingConfig | None = None,
     tfidf_source_idf: tuple[dict, int] | None = None,
     tfidf_target_idf: tuple[dict[str, float], int] | None = None,
+    tfidf_new_index=None,
+    mentions_table: DataFrame | None = None,
     langs: tuple = ("en",),
     reextract: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
@@ -728,7 +787,27 @@ def incremental_kg_ontology_delta(
     affected_ids)`` with ``affected_ids(source_term_id)`` the mention ids
     whose previous triples are invalidated. ``incremental_kg_ontology``
     == ``prev_triples anti-join affected_ids ∪ fresh_triples`` — the
-    merge-commit shape (Iceberg MERGE on subj) at O(delta) cost."""
+    merge-commit shape (Iceberg MERGE on subj) at O(delta) cost.
+
+    ``tfidf_new_index``: optional prebuilt broadcast index for the NEW
+    ontology snapshot — ``build_pipeline_index(new_onto_terms, cfg,
+    target_idf=tfidf_target_idf)``, i.e. built under the SAME config
+    filters and the SAME frozen label-side model, or scores silently
+    shift. New-dimension state is amortizable exactly like
+    ``construct_kg``'s ``tfidf_index``: a deployment builds it once per
+    release and shares it across every delta batch (and with the full
+    rebuild the valve may choose).
+
+    ``mentions_table``: optional already-materialized ``detect_mentions``
+    output for this corpus. On an ontology release the corpus is
+    UNCHANGED — mentions are prior-cycle lakehouse state, so passing the
+    persisted table removes every extract+detect pass over the page
+    payload from the delta (the probe and the re-map both read the
+    skinny mention projection instead; at web scale the payload is
+    orders of magnitude wider). Must be exactly the detection output for
+    ``pages`` under the same ``langs`` (row-identity pinned by test);
+    ``pages``/``reextract``/``langs`` are ignored for detection when it
+    is given."""
     import dataclasses
 
     from pyspark import StorageLevel
@@ -777,11 +856,16 @@ def incremental_kg_ontology_delta(
         onto_labels_df(prev_onto), onto_labels_df(new_onto)
     )
 
-    if reextract:
-        pages = extract_text(pages)
-    mentions = detect_mentions(pages, langs=langs).select(
-        "source_term_id", "source_term", "tags"
-    )
+    if mentions_table is not None:
+        mentions = mentions_table.select(
+            "source_term_id", "source_term", "tags"
+        )
+    else:
+        if reextract:
+            pages = extract_text(pages)
+        mentions = detect_mentions(pages, langs=langs).select(
+            "source_term_id", "source_term", "tags"
+        )
     to_map = post.filter_ignored(mentions)
 
     # --- addition probe: all mentions vs an index of ONLY the added rows
@@ -855,9 +939,13 @@ def incremental_kg_ontology_delta(
     # --- re-map ONLY affected mentions against the full new ontology
     to_remap = mentions.join(affected, "source_term_id", "left_semi")
     if is_tfidf:
-        full_idx = build_target_index(
-            onto_labels_df(new_onto), cfg.ngram_length,
-            target_idf=tfidf_target_idf,
+        full_idx = (
+            tfidf_new_index
+            if tfidf_new_index is not None
+            else build_target_index(
+                onto_labels_df(new_onto), cfg.ngram_length,
+                target_idf=tfidf_target_idf,
+            )
         )
         mapped = map_terms_df(
             to_remap, new_onto_terms, cfg,

@@ -285,6 +285,39 @@ def test_full_remap_valve_is_output_invariant(spark, state):
     assert _key(syn_valved) == _key(construct_kg(pages, v2, syn_cfg))
 
 
+def test_mentions_table_and_prebuilt_index_contracts(spark, state):
+    """Amortizable prior state must be row-identity-preserving:
+    ``construct_kg_from_mentions`` over the materialized detection output
+    equals ``construct_kg`` over the pages; passing ``mentions_table`` +
+    ``tfidf_new_index`` through the incremental path (both valve sides)
+    changes nothing but the physical plan."""
+    from ontology_mapper_spark.pipeline import construct_kg_from_mentions
+
+    pages, v1, v2, cfg, src_idf, tgt_idf, prev = state
+    mt = detect_mentions(pages)
+    idx2 = build_pipeline_index(v2, cfg, target_idf=tgt_idf)
+    full = construct_kg_from_mentions(
+        mt, v2, cfg, tfidf_source_idf=src_idf, tfidf_index=idx2
+    )
+    assert _key(full) == _key(
+        construct_kg(
+            pages, v2, cfg, tfidf_source_idf=src_idf, tfidf_index=idx2
+        )
+    )
+    out = incremental_kg_ontology(
+        pages, prev, v1, v2, cfg,
+        tfidf_source_idf=src_idf, tfidf_target_idf=tgt_idf,
+        tfidf_new_index=idx2, mentions_table=mt,
+    )
+    assert _key(out) == _key(full)
+    valved = incremental_kg_ontology(
+        pages, prev, v1, v2, cfg,
+        tfidf_source_idf=src_idf, tfidf_target_idf=tgt_idf,
+        tfidf_new_index=idx2, mentions_table=mt, full_remap_fraction=0.0,
+    )
+    assert _key(valved) == _key(full)
+
+
 def test_syntactic_incremental_equals_full_rebuild(spark, state):
     """Per-pair-pure mappers need no frozen model; the delta function
     pins the exact broadcast plan (the prefiltered variant's candidate
