@@ -794,6 +794,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_summary"] = kg_summary
 
+    def _release_kgs(spark):
+        """prev/new KG pair for the release-diff gates: two INDEPENDENT
+        full builds (default self-fit models — kg_diff is model-agnostic,
+        it compares whatever triples exist) over the SAME 300-page
+        corpus, v1 vs v2 fixture ontology. The prev build is exactly the
+        kg_pages_triples relation; the new build exactly the
+        incremental_kg_onto full-rebuild relation — the oracle composes
+        those two proven SQL bodies."""
+        from ontology_mapper_spark.pipeline import construct_kg
+        from ontology_mapper_spark.sources.ontology import (
+            fixture_ontology_rows_v2,
+            onto_terms_from_rows,
+        )
+        from ontology_mapper_spark.sources.pages import synthesize_pages
+
+        cfg = MappingConfig(max_mappings=1)
+        pages = synthesize_pages(spark, 300)
+        prev = construct_kg(pages, fixture_onto_terms(spark), cfg)
+        new = construct_kg(
+            pages, onto_terms_from_rows(spark, fixture_ontology_rows_v2()),
+            cfg,
+        )
+        return prev, new
+
+    def kg_release_diff(spark, sf):
+        """Triple-level churn between two KG snapshots
+        (operators.graph.kg_diff — release QA): status added / removed /
+        rescored / stable off ONE full-outer join on the triple key,
+        scores compared as 3dp integer millis (hash-comparable, float-
+        noise-free)."""
+        from ontology_mapper_spark.operators.graph import kg_diff
+
+        prev, new = _release_kgs(spark)
+        return kg_diff(prev, new)
+
+    def kg_release_summary(spark, sf):
+        """Per-(pred, status) churn counts (operators.graph.
+        kg_diff_summary) — the release-gate scalar relation a promotion
+        check reads."""
+        from ontology_mapper_spark.operators.graph import kg_diff_summary
+
+        prev, new = _release_kgs(spark)
+        return kg_diff_summary(prev, new)
+
+    q["kg_release_diff"] = kg_release_diff
+    q["kg_release_summary"] = kg_release_summary
+
     def checkpointed_tfidf(spark, sf):
         """The flagship mapping THROUGH the resumable-checkpoint machinery
         (CheckpointedRun.run, 4 url-hash buckets, whole-corpus IDF via
@@ -1806,6 +1853,32 @@ SELECT source_term_id AS subj, 'mappedTo' AS pred, iri AS obj,
        CAST(round(round(score, 3) * 1000) AS INT) AS score_milli
 FROM final"""
     )
+
+    # release diff: compose the two PROVEN full-rebuild bodies (v1 = the
+    # kg_pages_triples SQL, v2 = the incremental_kg_onto SQL — both
+    # hash-exact on their own gates) as derived tables and replay
+    # kg_diff's full-outer join + status logic. IS DISTINCT FROM is the
+    # SQL spelling of Spark's eqNullSafe negation.
+    o["kg_release_diff"] = f"""
+WITH prevkg AS (
+  SELECT subj, pred, obj, score_milli AS prev_score_milli, 1 AS _p
+  FROM ({o["kg_pages_triples"]})
+), newkg AS (
+  SELECT subj, pred, obj, score_milli AS new_score_milli, 1 AS _n
+  FROM ({o["incremental_kg_onto"]})
+)
+SELECT subj, pred, obj, prev_score_milli, new_score_milli,
+       CASE WHEN _n IS NULL THEN 'removed'
+            WHEN _p IS NULL THEN 'added'
+            WHEN prev_score_milli IS DISTINCT FROM new_score_milli
+                 THEN 'rescored'
+            ELSE 'stable' END AS status
+FROM prevkg FULL JOIN newkg USING (subj, pred, obj)"""
+
+    o["kg_release_summary"] = f"""
+WITH diff AS ({o["kg_release_diff"]})
+SELECT pred, status, CAST(count(*) AS BIGINT) AS n_triples
+FROM diff GROUP BY pred, status"""
 
     _kg_cte = _tfidf_cte(
         min_score=0.3,

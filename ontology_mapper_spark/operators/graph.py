@@ -278,6 +278,60 @@ def kg_summary(triples: DataFrame) -> DataFrame:
     )
 
 
+def kg_diff(prev_triples: DataFrame, new_triples: DataFrame) -> DataFrame:
+    """Triple-level churn between two KG snapshots (release QA — the
+    relation a deployment inspects before promoting a rebuild or an
+    incremental advance): ``(subj, pred, obj, prev_score_milli,
+    new_score_milli, status)`` with status ``added`` (new only),
+    ``removed`` (prev only), ``rescored`` (both, score moved), or
+    ``stable``. Scores compare as integer millis (the 3dp rounding the
+    triples already carry — F10), so the relation is hash-comparable
+    across engines and insensitive to float noise; null scores
+    (hierarchy edges from ``construct_full_kg``) compare null-safely.
+
+    Physical shape: ONE full-outer sort-merge join on the triple key —
+    both sides shuffle once on (subj, pred, obj); under an
+    Iceberg/bucketed layout keyed on subj the exchange is partial, and
+    AQE handles mapping-side skew. No driver materialization at any
+    scale."""
+    milli = lambda c: F.round(F.col(c) * 1000).cast("int")  # noqa: E731
+    p = prev_triples.select(
+        "subj", "pred", "obj",
+        milli("score").alias("prev_score_milli"),
+        F.lit(1).alias("_p"),
+    )
+    n = new_triples.select(
+        "subj", "pred", "obj",
+        milli("score").alias("new_score_milli"),
+        F.lit(1).alias("_n"),
+    )
+    j = p.join(n, ["subj", "pred", "obj"], "full_outer")
+    return j.select(
+        "subj", "pred", "obj", "prev_score_milli", "new_score_milli",
+        F.when(F.col("_n").isNull(), F.lit("removed"))
+        .when(F.col("_p").isNull(), F.lit("added"))
+        .when(
+            ~F.col("prev_score_milli").eqNullSafe(F.col("new_score_milli")),
+            F.lit("rescored"),
+        )
+        .otherwise(F.lit("stable"))
+        .alias("status"),
+    )
+
+
+def kg_diff_summary(
+    prev_triples: DataFrame, new_triples: DataFrame
+) -> DataFrame:
+    """Per-(pred, status) churn counts over :func:`kg_diff` ->
+    ``(pred, status, n_triples)`` — the release-gate scalar row (an
+    unexpected ``removed`` spike on the mappedTo partition is the
+    signal to hold a promotion). One partial+final aggregate on top of
+    the diff's single join."""
+    return kg_diff(prev_triples, new_triples).groupBy("pred", "status").agg(
+        F.count(F.lit(1)).alias("n_triples")
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",

@@ -284,3 +284,68 @@ def test_to_ntriples_unknown_pred_raises(spark):
     )
     with pytest.raises(Exception, match="unknown predicate"):
         to_ntriples(df).collect()
+
+
+@pytest.mark.spark
+def test_kg_diff_statuses(spark):
+    """All four churn statuses off one hand-built snapshot pair, plus
+    null-safe score comparison (hierarchy edges carry null scores)."""
+    from ontology_mapper_spark.operators.graph import kg_diff
+
+    schema = "subj string, pred string, obj string, score double"
+    prev = spark.createDataFrame(
+        [
+            ("u1", "mappedTo", "e1", 0.9),    # stable
+            ("u2", "mappedTo", "e2", 0.8),    # rescored (0.8 -> 0.6)
+            ("u3", "mappedTo", "e3", 0.7),    # removed
+            ("c1", "IS_A", "p1", None),       # stable with null scores
+        ],
+        schema,
+    )
+    new = spark.createDataFrame(
+        [
+            ("u1", "mappedTo", "e1", 0.9),
+            ("u2", "mappedTo", "e2", 0.6),
+            ("u4", "mappedTo", "e4", 0.5),    # added
+            ("c1", "IS_A", "p1", None),
+        ],
+        schema,
+    )
+    got = {
+        (r["subj"], r["status"]): (r["prev_score_milli"], r["new_score_milli"])
+        for r in kg_diff(prev, new).collect()
+    }
+    assert got == {
+        ("u1", "stable"): (900, 900),
+        ("u2", "rescored"): (800, 600),
+        ("u3", "removed"): (700, None),
+        ("u4", "added"): (None, 500),
+        ("c1", "stable"): (None, None),
+    }
+
+
+@pytest.mark.spark
+def test_kg_diff_self_is_all_stable_and_summary_matches(spark):
+    """diff(X, X) is pure 'stable', and the summary is exactly the
+    per-(pred, status) contingency of the row-level diff."""
+    from ontology_mapper_spark.operators.graph import kg_diff, kg_diff_summary
+
+    kg = spark.createDataFrame(
+        [("u%d" % i, "mappedTo" if i % 3 else "IS_A", "e%d" % (i % 5),
+          round(i * 0.01, 3)) for i in range(40)],
+        "subj string, pred string, obj string, score double",
+    )
+    d = kg_diff(kg, kg)
+    assert d.filter(F.col("status") != "stable").count() == 0
+    prev, new = kg.filter("subj < 'u3'"), kg.filter("subj > 'u1'")
+    expect = {
+        (r["pred"], r["status"]): r["cnt"]
+        for r in kg_diff(prev, new)
+        .groupBy("pred", "status").agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    got = {
+        (r["pred"], r["status"]): r["n_triples"]
+        for r in kg_diff_summary(prev, new).collect()
+    }
+    assert got == expect and sum(got.values()) > 0
