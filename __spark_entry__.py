@@ -676,6 +676,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["incremental_kg_onto"] = incremental_kg_onto
 
+    def stream_kg_triples(spark, sf):
+        """The STREAMING twin of incremental_kg_triples, same
+        strongest-form oracle: Spark runs streaming.ingest.
+        stream_incremental_kg over two availableNow runs against one
+        checkpoint (initial 300-page crawl, then the [200,350) recrawl —
+        the second run restores state and processes only the new file),
+        each micro-batch deltaing against the persisted digest snapshot,
+        then resolves the append-only epoch log latest-wins
+        (stream_current_triples); DuckDB runs the identical FULL REBUILD
+        over the latest corpus. Hash-exact means streaming + incremental
+        + checkpoint restart ≡ one batch rebuild."""
+        import os
+
+        from ontology_mapper_spark.operators.tfidf import source_idf_map
+        from ontology_mapper_spark.sources.pages import (
+            detect_mentions,
+            recrawl_pages,
+            synthesize_pages,
+        )
+        from ontology_mapper_spark.streaming.ingest import (
+            stream_current_triples,
+            stream_incremental_kg,
+        )
+
+        root = _gate_ckpt_dir("omspark_gate_stream_kg")
+        d = {
+            k: os.path.join(root, k)
+            for k in ("in", "triples", "touched", "digest", "ckpt")
+        }
+        os.makedirs(d["in"], exist_ok=True)
+        cfg = MappingConfig(max_mappings=1)
+        onto = fixture_onto_terms(spark)
+        prev = synthesize_pages(spark, 300)
+        new = recrawl_pages(spark, 200, 350)
+        latest = prev.join(
+            new.select("url"), "url", "left_anti"
+        ).unionByName(new)
+        idf = source_idf_map(detect_mentions(latest), cfg.ngram_length)
+        for drop in (prev, new):
+            drop.coalesce(1).write.mode("append").parquet(d["in"])
+            stream_incremental_kg(
+                spark, d["in"], d["triples"], d["touched"], d["digest"],
+                d["ckpt"], onto, cfg, tfidf_source_idf=idf,
+            ).awaitTermination(300)
+        return stream_current_triples(
+            spark, d["triples"], d["touched"]
+        ).select(
+            "subj",
+            "pred",
+            "obj",
+            F.round(F.col("score") * 1000).cast("int").alias("score_milli"),
+        )
+
+    q["stream_kg_triples"] = stream_kg_triples
+
     def _gate_kg(spark):
         """The shared 300-page KG for the graph-analytics gate queries —
         same construction as kg_pages_triples but max_mappings=2 (each
@@ -1830,6 +1885,12 @@ SELECT source_term_id AS subj, 'mappedTo' AS pred, iri AS obj,
        CAST(round(round(score, 3) * 1000) AS INT) AS score_milli
 FROM final"""
     )
+
+    # the streaming twin resolves to the SAME latest corpus state, so the
+    # full-rebuild SQL is shared verbatim: one oracle, two physical paths
+    # (batch incremental_kg vs checkpointed foreachBatch epochs +
+    # latest-wins log resolution)
+    o["stream_kg_triples"] = o["incremental_kg_triples"]
 
     # ontology-delta incremental path (Spark) vs a FULL REBUILD over the
     # v2 ontology (DuckDB). The frozen label-side model is target_idf_map

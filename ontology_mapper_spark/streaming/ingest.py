@@ -158,3 +158,157 @@ def mention_rate(pages_stream: DataFrame, window: str = "10 minutes",
             "n_mentions",
         )
     )
+
+
+def stream_incremental_kg(
+    spark: SparkSession,
+    input_dir: str,
+    triples_dir: str,
+    touched_dir: str,
+    digest_dir: str,
+    checkpoint_dir: str,
+    onto_terms: DataFrame,
+    cfg: MappingConfig | None = None,
+    tfidf_source_idf: tuple[dict, int] | None = None,
+    available_now: bool = True,
+):
+    """Continuous-crawl KG maintenance: every micro-batch is treated as a
+    re-crawl DELTA against the digest state accumulated so far —
+    unchanged captures never reach the mapping kernel (the ``(url,
+    digest)`` join drops them), changed/new urls are re-mapped and
+    appended tagged with the epoch, and the digest snapshot advances via
+    ``merge_digests``. This is ``pipeline.incremental_kg_delta`` lifted
+    into ``foreachBatch``: the streaming twin of the batch incremental
+    cycle, where `stream_pages_to_triples` is the twin of a full build.
+
+    Model contract (enforced for the TF-IDF mapper): triples appended by
+    DIFFERENT epochs coexist in one KG, so they must score on ONE model —
+    pass a frozen ``tfidf_source_idf`` (``operators.tfidf.source_idf_map``
+    over a reference corpus, persistable via ``save_idf_model``). A
+    per-batch self-fit would score each epoch on a different model and
+    the accumulated relation would be incoherent (the same reason
+    ``pipeline.incremental_kg`` enforces it).
+
+    State layout (all plain parquet — an Iceberg deployment swaps the
+    latest-wins reader for MERGE commits):
+
+    - ``triples_dir``: append-only ``(subj, pred, obj, score, epoch)``.
+    - ``touched_dir``: append-only ``(url, epoch)`` — every url the epoch
+      re-mapped OR retired-by-change (the CDC ``drop`` relation), the
+      supersession log the reader resolves against.
+    - ``digest_dir/epoch=N``: the digest snapshot AFTER epoch N —
+      written with per-epoch overwrite, so a checkpoint-replayed batch
+      rewrites its own directory idempotently instead of corrupting the
+      prior state (never read-and-overwrite one live dir).
+
+    Read the current KG back with :func:`stream_current_triples`;
+    equality with a batch rebuild over the latest corpus is pinned by
+    test."""
+    from pyspark.sql import Window
+
+    from ontology_mapper_spark.config import Mapper
+    from ontology_mapper_spark.pipeline import (
+        build_pipeline_index,
+        incremental_kg_delta,
+        merge_digests,
+    )
+
+    effective = cfg or MappingConfig()
+    if effective.mapper == Mapper.TFIDF and tfidf_source_idf is None:
+        raise ValueError(
+            "stream_incremental_kg with the TF-IDF mapper requires a "
+            "frozen tfidf_source_idf: epochs append into ONE relation, so "
+            "every epoch must score on the same model (fit "
+            "operators.tfidf.source_idf_map over a reference corpus; "
+            "persist with save_idf_model)"
+        )
+    tfidf_index = (
+        build_pipeline_index(onto_terms, cfg)
+        if effective.mapper == Mapper.TFIDF
+        and not effective.use_inverted_index
+        else None
+    )
+    empty_digests = spark.createDataFrame([], "url string, digest string")
+
+    def _latest_state() -> DataFrame:
+        import os
+
+        if not os.path.isdir(digest_dir):
+            return empty_digests
+        epochs = [
+            int(d.split("=", 1)[1])
+            for d in os.listdir(digest_dir)
+            if d.startswith("epoch=")
+        ]
+        if not epochs:
+            return empty_digests
+        return spark.read.parquet(
+            os.path.join(digest_dir, f"epoch={max(epochs)}")
+        ).select("url", "digest")
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        import os
+
+        if batch_df.isEmpty():
+            return
+        # newest capture per url WITHIN the batch (a snapshot drop can
+        # carry several captures of one url; mention ids are url#ordinal)
+        w = Window.partitionBy("url").orderBy(F.desc("warc_ts"))
+        batch = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        prev = _latest_state()
+        fresh, drop = incremental_kg_delta(
+            batch, prev, onto_terms, cfg,
+            tfidf_source_idf=tfidf_source_idf, tfidf_index=tfidf_index,
+        )
+        (
+            fresh.withColumn("epoch", F.lit(int(epoch_id)))
+            .write.mode("append").parquet(triples_dir)
+        )
+        (
+            drop.select("url").withColumn("epoch", F.lit(int(epoch_id)))
+            .write.mode("append").parquet(touched_dir)
+        )
+        (
+            merge_digests(prev, batch)
+            .write.mode("overwrite")
+            .parquet(os.path.join(digest_dir, f"epoch={int(epoch_id)}"))
+        )
+
+    writer = (
+        read_pages_stream(spark, input_dir)
+        .writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_current_triples(
+    spark: SparkSession, triples_dir: str, touched_dir: str
+) -> DataFrame:
+    """Resolve the append-only ``stream_incremental_kg`` log to the
+    CURRENT KG: a triple is live iff its epoch is the LAST epoch that
+    touched its url (later epochs that re-mapped the url supersede it —
+    including with zero fresh triples, which is why supersession reads
+    the touched log, not the triples). Mention ids are ``url#ordinal``
+    (``sources/pages.py``), so the url is everything before the LAST
+    ``#``. One aggregate over the skinny touched log + one join — the
+    file-sink spelling of Iceberg MERGE-on-subj."""
+    triples = spark.read.parquet(triples_dir)
+    last_touch = (
+        spark.read.parquet(touched_dir)
+        .groupBy("url")
+        .agg(F.max("epoch").alias("_last_epoch"))
+    )
+    url = F.expr("substring(subj, 1, length(subj) - locate('#', reverse(subj)))")
+    return (
+        triples.withColumn("url", url)
+        .join(last_touch, "url")
+        .filter(F.col("epoch") == F.col("_last_epoch"))
+        .select("subj", "pred", "obj", "score")
+    )

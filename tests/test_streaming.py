@@ -119,3 +119,94 @@ def test_mention_rate_watermark(spark, tmp_path):
     # pages are 37s apart -> windows hold <= ~17 pages
     assert all(r["n_pages"] <= 17 for r in rows)
     assert all(r["n_mentions"] == 4 * r["n_pages"] for r in rows)
+
+
+@pytest.mark.spark
+@pytest.mark.slow
+def test_stream_incremental_kg_latest_wins_and_reuse(spark, tmp_path):
+    """Continuous-crawl maintenance: two file drops processed as separate
+    checkpointed runs (initial crawl, then a recrawl with changed content
+    + new urls). The latest-wins resolution of the append-only log must
+    equal a batch construct_kg over the latest corpus under the same
+    frozen model, and the second epoch must have re-mapped ONLY the
+    changed/new urls — byte-identical re-captures never reach the
+    kernel."""
+    import re
+
+    from ontology_mapper_spark.operators.tfidf import source_idf_map
+    from ontology_mapper_spark.pipeline import build_pipeline_index
+    from ontology_mapper_spark.sources.pages import (
+        detect_mentions,
+        recrawl_pages,
+    )
+    from ontology_mapper_spark.streaming.ingest import (
+        stream_current_triples,
+        stream_incremental_kg,
+    )
+
+    onto = fixture_onto_terms(spark).cache()
+    cfg = MappingConfig(max_mappings=1)
+    d = {
+        k: str(tmp_path / k)
+        for k in ("in", "triples", "touched", "digest", "ckpt")
+    }
+    os.makedirs(d["in"])
+
+    drop1 = synthesize_pages(spark, 60).cache()
+    # re-captures of urls 40..59 (content changed only at i % 7 == 0:
+    # 42/49/56) + new urls 60..79
+    drop2 = recrawl_pages(spark, 40, 80).cache()
+    latest = (
+        drop1.join(drop2.select("url"), "url", "left_anti")
+        .unionByName(drop2)
+        .cache()
+    )
+    src_idf = source_idf_map(detect_mentions(latest), cfg.ngram_length)
+
+    def run():
+        q = stream_incremental_kg(
+            spark, d["in"], d["triples"], d["touched"], d["digest"],
+            d["ckpt"], onto, cfg, tfidf_source_idf=src_idf,
+        )
+        q.awaitTermination(180)
+
+    drop1.coalesce(1).write.mode("append").parquet(d["in"])
+    run()
+    drop2.coalesce(1).write.mode("append").parquet(d["in"])
+    run()  # checkpointed restart: only the new file is processed
+
+    got = stream_current_triples(spark, d["triples"], d["touched"])
+    full = construct_kg(
+        latest, onto, cfg,
+        tfidf_source_idf=src_idf,
+        tfidf_index=build_pipeline_index(onto, cfg),
+    )
+
+    def key(df):
+        return sorted(
+            (r["subj"], r["pred"], r["obj"], round(r["score"], 9))
+            for r in df.collect()
+        )
+
+    assert key(got) == key(full)
+
+    # epoch accounting: exactly the changed + new urls in the 2nd epoch
+    eps = sorted(
+        r["epoch"]
+        for r in spark.read.parquet(d["touched"])
+        .select("epoch").distinct().collect()
+    )
+    assert len(eps) == 2
+    second = {
+        int(re.search(r"page(\d+)$", r["url"]).group(1))
+        for r in spark.read.parquet(d["touched"])
+        .filter(F.col("epoch") == eps[-1]).collect()
+    }
+    assert second == {42, 49, 56} | set(range(60, 80))
+
+    # frozen-model enforcement
+    with pytest.raises(ValueError, match="frozen tfidf_source_idf"):
+        stream_incremental_kg(
+            spark, d["in"], d["triples"], d["touched"], d["digest"],
+            d["ckpt"], onto, cfg,
+        )
