@@ -273,3 +273,26 @@ def test_inverted_index_dedup_scoring_equivalent(spark):
         (*t[:-1], round(t[-1], 9)) for t in map(tuple, df.collect())
     )
     assert r9(a) == r9(b)
+
+
+@pytest.mark.spark
+def test_kg_diff_is_one_sort_merge_join(spark):
+    """kg_diff's 100 TB contract: exactly ONE full-outer SortMergeJoin on
+    the triple key (one Exchange per side), no broadcast-nested-loop, no
+    Python in the plan — the diff is a pure JVM co-partitioned join at
+    any scale."""
+    from ontology_mapper_spark.operators.graph import kg_diff
+
+    schema = "subj string, pred string, obj string, score double"
+    a = spark.createDataFrame(
+        [("u%d" % i, "mappedTo", "e%d" % i, 0.5) for i in range(50)], schema
+    )
+    b = spark.createDataFrame(
+        [("u%d" % i, "mappedTo", "e%d" % i, 0.6) for i in range(30)], schema
+    )
+    p = plan_str(kg_diff(a, b))
+    tree = p.split("\n\n")[0]  # operator tree; details repeat each node
+    assert tree.count("SortMergeJoin FullOuter") == 1, tree
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "MapInPandas" not in p and "BatchEvalPython" not in p, p
+    assert tree.count("Exchange") == 2, tree
