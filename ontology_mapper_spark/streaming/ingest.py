@@ -312,3 +312,51 @@ def stream_current_triples(
         .filter(F.col("epoch") == F.col("_last_epoch"))
         .select("subj", "pred", "obj", "score")
     )
+
+
+def compact_stream_log(
+    spark: SparkSession, triples_dir: str, touched_dir: str
+) -> tuple[int, int]:
+    """Rewrite the :func:`stream_incremental_kg` logs to their resolved
+    state: only LIVE triples survive (latest-wins, exactly what
+    :func:`stream_current_triples` reads), all tagged with one compacted
+    epoch, and the touched log collapses to one row per url at that
+    epoch. Lakehouse maintenance, not semantics — the resolved relation
+    is identical before and after (pinned by test); what changes is read
+    cost, which otherwise grows with every epoch (superseded rows are
+    scanned and filtered on every resolution; Iceberg deployments get
+    this from MERGE + snapshot expiry, a parquet-log deployment runs
+    this periodically).
+
+    The compacted epoch is ``max(existing epoch)`` — an in-flight stream
+    restarted from its checkpoint continues at a LATER batch id, so new
+    epochs keep superseding compacted rows correctly. Returns
+    ``(live_triples, distinct_urls)``.
+
+    Write discipline: both relations are fully materialized to temp
+    subdirectories BEFORE the originals are replaced (a direct
+    overwrite would read and delete the same files), then swapped in
+    with atomic renames. Run it between stream runs, not concurrently
+    with one."""
+    import os
+    import shutil
+
+    touched = spark.read.parquet(touched_dir)
+    epoch = touched.agg(F.max("epoch")).collect()[0][0]
+    live = stream_current_triples(spark, triples_dir, touched_dir)
+    urls = touched.select("url").distinct()
+
+    tmp_t = triples_dir.rstrip("/") + "._compact"
+    tmp_u = touched_dir.rstrip("/") + "._compact"
+    live.withColumn("epoch", F.lit(int(epoch))).write.mode(
+        "overwrite"
+    ).parquet(tmp_t)
+    urls.withColumn("epoch", F.lit(int(epoch))).write.mode(
+        "overwrite"
+    ).parquet(tmp_u)
+    n_live = spark.read.parquet(tmp_t).count()
+    n_urls = spark.read.parquet(tmp_u).count()
+    for final, tmp in ((triples_dir, tmp_t), (touched_dir, tmp_u)):
+        shutil.rmtree(final)
+        os.rename(tmp, final)
+    return n_live, n_urls

@@ -210,3 +210,37 @@ def test_stream_incremental_kg_latest_wins_and_reuse(spark, tmp_path):
             spark, d["in"], d["triples"], d["touched"], d["digest"],
             d["ckpt"], onto, cfg,
         )
+
+    # compaction: superseded epoch-0 rows (urls 42/49/56 were re-mapped
+    # in epoch 1) are physically dropped, the resolved relation is
+    # unchanged, and a LATER stream run keeps superseding correctly
+    # because the checkpointed batch id is already past the compacted
+    # epoch
+    from ontology_mapper_spark.streaming.ingest import compact_stream_log
+
+    before_rows = spark.read.parquet(d["triples"]).count()
+    n_live, n_urls = compact_stream_log(spark, d["triples"], d["touched"])
+    assert n_urls == 80
+    assert n_live < before_rows  # dead rows existed and are gone
+    assert (
+        key(stream_current_triples(spark, d["triples"], d["touched"]))
+        == key(full)
+    )
+    drop3 = recrawl_pages(
+        spark, 40, 80,
+        extra_paragraph="chronic malaria relapse", recrawl_delay_days=60,
+    ).cache()  # i%7==0 urls REALLY change again vs drop2's mutation
+    latest3 = (
+        latest.join(drop3.select("url"), "url", "left_anti")
+        .unionByName(drop3)
+        .cache()
+    )
+    drop3.coalesce(1).write.mode("append").parquet(d["in"])
+    run()
+    got3 = stream_current_triples(spark, d["triples"], d["touched"])
+    full3 = construct_kg(
+        latest3, onto, cfg,
+        tfidf_source_idf=src_idf,
+        tfidf_index=build_pipeline_index(onto, cfg),
+    )
+    assert key(got3) == key(full3)
