@@ -731,6 +731,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stream_kg_triples"] = stream_kg_triples
 
+    def onto_label_delta(spark, sf):
+        """The dimension-diff primitive the ontology-release path builds
+        on (pipeline.label_delta): (added, removed) label rows between
+        the v1 and v2 fixture snapshots, unioned with a side column.
+        Dimension-side EXCEPTs only — the oracle replays them as EXCEPT
+        ALL over the two ontology VALUES tables."""
+        from ontology_mapper_spark.pipeline import label_delta
+        from ontology_mapper_spark.sources.ontology import (
+            filter_terms_df,
+            fixture_ontology_rows_v2,
+            onto_labels_df,
+            onto_terms_from_rows,
+        )
+
+        cfg = MappingConfig()
+        labels = [
+            onto_labels_df(
+                filter_terms_df(
+                    terms, cfg.base_iris, cfg.excl_deprecated, cfg.term_type
+                )
+            )
+            for terms in (
+                fixture_onto_terms(spark),
+                onto_terms_from_rows(spark, fixture_ontology_rows_v2()),
+            )
+        ]
+        added, removed = label_delta(*labels)
+        return added.withColumn("side", F.lit("added")).unionByName(
+            removed.withColumn("side", F.lit("removed"))
+        )
+
+    q["onto_label_delta"] = onto_label_delta
+
     def _gate_kg(spark):
         """The shared 300-page KG for the graph-analytics gate queries —
         same construction as kg_pages_triples but max_mappings=2 (each
@@ -1892,15 +1925,33 @@ FROM final"""
     # latest-wins log resolution)
     o["stream_kg_triples"] = o["incremental_kg_triples"]
 
+    from ontology_mapper_spark.sources.ontology import (
+        fixture_ontology_rows_v2 as _fx_v2,
+    )
+
+    # the label-granular dimension diff, replayed as EXCEPT ALL over the
+    # two snapshot VALUES tables (the helper names its CTE `onto`; rename
+    # per version to compose both in one query)
+    _v1_labels_cte = _fixture_onto_values_sql("class").replace(
+        "onto(iri", "onto_v1(iri", 1
+    )
+    _v2_labels_cte = _fixture_onto_values_sql(
+        "class", rows=_fx_v2()
+    ).replace("onto(iri", "onto_v2(iri", 1)
+    o["onto_label_delta"] = f"""
+WITH {_v1_labels_cte},
+{_v2_labels_cte}
+SELECT iri, name, is_synonym, display_label, 'added' AS side
+FROM (SELECT * FROM onto_v2 EXCEPT ALL SELECT * FROM onto_v1)
+UNION ALL
+SELECT iri, name, is_synonym, display_label, 'removed' AS side
+FROM (SELECT * FROM onto_v1 EXCEPT ALL SELECT * FROM onto_v2)"""
+
     # ontology-delta incremental path (Spark) vs a FULL REBUILD over the
     # v2 ontology (DuckDB). The frozen label-side model is target_idf_map
     # over the v2 snapshot, so the oracle's standard tgt_idf formula over
     # the v2 VALUES IS the frozen model — same device as the corpus gate,
     # whose frozen source IDF is the latest corpus's own statistic.
-    from ontology_mapper_spark.sources.ontology import (
-        fixture_ontology_rows_v2 as _fx_v2,
-    )
-
     o["incremental_kg_onto"] = (
         _tfidf_cte(
             min_score=0.3,
