@@ -231,24 +231,29 @@ def stream_incremental_kg(
     empty_digests = spark.createDataFrame([], "url string, digest string")
 
     def _latest_state() -> DataFrame:
-        import os
-
-        if not os.path.isdir(digest_dir):
+        # Hadoop FileSystem API, not os.listdir: the digest snapshot lives
+        # wherever the cluster's state does (hdfs://, s3a://, file:) —
+        # same discipline as checkpoints.CheckpointedRun._list_bucket_ids
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(digest_dir)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(hpath):
             return empty_digests
-        epochs = [
-            int(d.split("=", 1)[1])
-            for d in os.listdir(digest_dir)
-            if d.startswith("epoch=")
-        ]
+        epochs = []
+        for status in fs.listStatus(hpath):
+            name = status.getPath().getName()
+            if status.isDirectory() and name.startswith("epoch="):
+                try:
+                    epochs.append(int(name.split("=", 1)[1]))
+                except ValueError:
+                    pass
         if not epochs:
             return empty_digests
         return spark.read.parquet(
-            os.path.join(digest_dir, f"epoch={max(epochs)}")
+            digest_dir.rstrip("/") + f"/epoch={max(epochs)}"
         ).select("url", "digest")
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        import os
-
         if batch_df.isEmpty():
             return
         # newest capture per url WITHIN the batch (a snapshot drop can
@@ -275,7 +280,7 @@ def stream_incremental_kg(
         (
             merge_digests(prev, batch)
             .write.mode("overwrite")
-            .parquet(os.path.join(digest_dir, f"epoch={int(epoch_id)}"))
+            .parquet(digest_dir.rstrip("/") + f"/epoch={int(epoch_id)}")
         )
 
     writer = (
@@ -334,13 +339,11 @@ def compact_stream_log(
     ``(live_triples, distinct_urls)``.
 
     Write discipline: both relations are fully materialized to temp
-    subdirectories BEFORE the originals are replaced (a direct
+    sibling directories BEFORE the originals are replaced (a direct
     overwrite would read and delete the same files), then swapped in
-    with atomic renames. Run it between stream runs, not concurrently
-    with one."""
-    import os
-    import shutil
-
+    via Hadoop FileSystem delete+rename — any scheme (hdfs://, s3a://,
+    file:), like the rest of the state machinery. Run it between stream
+    runs, not concurrently with one."""
     touched = spark.read.parquet(touched_dir)
     epoch = touched.agg(F.max("epoch")).collect()[0][0]
     live = stream_current_triples(spark, triples_dir, touched_dir)
@@ -356,7 +359,15 @@ def compact_stream_log(
     ).parquet(tmp_u)
     n_live = spark.read.parquet(tmp_t).count()
     n_urls = spark.read.parquet(tmp_u).count()
+    jvm = spark._jvm
     for final, tmp in ((triples_dir, tmp_t), (touched_dir, tmp_u)):
-        shutil.rmtree(final)
-        os.rename(tmp, final)
+        fpath = jvm.org.apache.hadoop.fs.Path(final)
+        tpath = jvm.org.apache.hadoop.fs.Path(tmp)
+        fs = fpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.delete(fpath, True)
+        if not fs.rename(tpath, fpath):
+            raise IOError(
+                f"compact_stream_log: rename {tmp} -> {final} failed; "
+                "compacted data is intact under the temp path"
+            )
     return n_live, n_urls
