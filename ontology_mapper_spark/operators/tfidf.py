@@ -84,8 +84,12 @@ LABEL_ORDER = ("iri", "is_synonym", "name")
 # Uniqueness contract: ``onto_labels`` carries one row per distinct
 # (iri, is_synonym, name) — labels/synonyms are set-valued upstream
 # (sources/owl.py label/synonym set union, U2/U3), so the tuple is a key.
-# Both plans treat each row as one TF-IDF document; a duplicated row would
-# shift df/n_docs identically in either plan and in the oracle.
+# Both plans treat each row as one TF-IDF document. Duplicated rows are
+# UNSUPPORTED input, not merely redundant: the distributed postings
+# builder groups on the hashed tuple key (one document, doubled tf) while
+# the driver-side index builder enumerates each row as its own document —
+# the two builders would diverge, so upstream set-union dedup is load-
+# bearing for the plan-equivalence guarantees.
 
 
 _COUNT_SENTINEL = "\x00__doc_count__"
@@ -689,10 +693,25 @@ def tfidf_map_broadcast(
 
 
 def tfidf_map_inverted_index(
-    mentions: DataFrame, onto_labels: DataFrame, cfg: MappingConfig
+    mentions: DataFrame,
+    onto_labels: DataFrame,
+    cfg: MappingConfig,
+    source_idf: tuple[dict[str, float], int] | None = None,
+    target_idf: tuple[dict[str, float], int] | None = None,
 ) -> DataFrame:
     """Pure-DataFrame plan: explode n-grams, broadcast the target postings,
     equi-join on ngram, hash-aggregate the cosine, window top-k.
+
+    ``source_idf`` / ``target_idf``: optional FROZEN gram models
+    (``source_idf_map`` / ``target_idf_map``), the same objects the
+    broadcast-kernel plan accepts — when slices of one corpus (checkpoint
+    buckets, incremental deltas, stream epochs) are scored by THIS plan,
+    the self-fit IDF below would be slice-local and fresh rows would score
+    differently from reused ones. Frozen models replace the computed
+    aggregates with broadcast literal relations; grams unseen by a model
+    take ``ln(1 + n_model) + 1`` (df=0), exactly like the kernel's
+    ``default_idf`` fallback, so the two physical plans stay
+    output-identical under freezing too.
 
     The corpus sizes feeding the IDF formula are 1-row aggregates cross-
     joined in as broadcasts, not driver-side ``count()`` actions — the whole
@@ -754,22 +773,39 @@ def tfidf_map_inverted_index(
         .groupBy("source_term_id", "source_term", "_w", "ngram")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    # df(g) = number of mention ROWS containing g = occurrence-weighted
-    # count of distinct-doc postings (weight 1 per row in the non-dedup
-    # path — identical formula)
-    src_idf = (
-        src_tf.groupBy("ngram")
-        .agg(F.sum("_w").alias("df"))
-        .crossJoin(F.broadcast(n_src_df))
-        .select(
-            "ngram",
-            (F.log((1.0 + F.col("n_docs")) / (1 + F.col("df"))) + 1.0).alias("idf"),
+    if source_idf is not None:
+        # frozen whole-corpus model: broadcast literal (ngram, idf)
+        # relation, LEFT-joined so grams the model never saw take the
+        # df=0 idf — bit-identical to the kernel plan's default_idf
+        idf_map, n_model = source_idf
+        unseen = math.log(1.0 + n_model) + 1.0
+        frozen = mentions.sparkSession.createDataFrame(
+            list(idf_map.items()) or [("", float(unseen))],
+            "ngram string, idf double",
         )
-    )
-    # idf is keyed by ngram — bounded by the trigram space, always broadcast
-    src_w = src_tf.join(F.broadcast(src_idf), "ngram").withColumn(
-        "w", F.col("tf") * F.col("idf")
-    )
+        src_w = src_tf.join(F.broadcast(frozen), "ngram", "left").withColumn(
+            "w", F.col("tf") * F.coalesce(F.col("idf"), F.lit(unseen))
+        )
+    else:
+        # df(g) = number of mention ROWS containing g = occurrence-weighted
+        # count of distinct-doc postings (weight 1 per row in the non-dedup
+        # path — identical formula)
+        src_idf = (
+            src_tf.groupBy("ngram")
+            .agg(F.sum("_w").alias("df"))
+            .crossJoin(F.broadcast(n_src_df))
+            .select(
+                "ngram",
+                (F.log((1.0 + F.col("n_docs")) / (1 + F.col("df"))) + 1.0).alias(
+                    "idf"
+                ),
+            )
+        )
+        # idf is keyed by ngram — bounded by the trigram space, always
+        # broadcast
+        src_w = src_tf.join(F.broadcast(src_idf), "ngram").withColumn(
+            "w", F.col("tf") * F.col("idf")
+        )
     src_norm = src_w.groupBy("source_term_id").agg(
         F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
     )
@@ -789,7 +825,7 @@ def tfidf_map_inverted_index(
         *_label_key_cols(), "iri", "is_synonym", "name", "display_label"
     )
     n_tgt_df = onto_labels.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
-    tgt_vec = target_postings_df(onto_labels)
+    tgt_vec = target_postings_df(onto_labels, target_idf=target_idf)
     if cfg.stop_ngram_df_fraction is not None:
         # skew valve: hot n-grams (df above the cutoff) dominate join
         # fan-out while contributing ~zero score mass (IDF -> ln(1)+1 ~ 1,

@@ -23,6 +23,7 @@ from ontology_mapper_spark.operators.tfidf import (
     tfidf_map_broadcast,
     tfidf_map_inverted_index,
 )
+from ontology_mapper_spark.session import session_cache_key
 from ontology_mapper_spark.sources import terms as term_src
 from ontology_mapper_spark.sources.ontology import filter_terms_df, onto_labels_df
 
@@ -32,7 +33,7 @@ from ontology_mapper_spark.sources.ontology import filter_terms_df, onto_labels_
 # repeated calls in one session would accumulate cached partitions forever
 # (r2 VERDICT #5). Each new call releases the previous call's cache, and
 # release_pipeline_cache() frees the last one when the caller is done.
-_ACTIVE_MENTIONS: dict[int, DataFrame] = {}
+_ACTIVE_MENTIONS: dict[str, DataFrame] = {}
 
 # Persisted changed-url sets from incremental_kg_delta (FIFO per session):
 # the changed set is referenced by BOTH delta outputs (the page semi-join
@@ -44,7 +45,7 @@ _ACTIVE_MENTIONS: dict[int, DataFrame] = {}
 # silently regain the replay cost — 16 concurrent un-actioned delta plans
 # per session is far beyond any real cycle pattern, and
 # release_pipeline_cache() is the deterministic release point.
-_ACTIVE_DELTAS: dict[int, list[DataFrame]] = {}
+_ACTIVE_DELTAS: dict[str, list[DataFrame]] = {}
 _MAX_DELTA_CACHE = 16
 
 
@@ -53,7 +54,9 @@ def release_pipeline_cache(spark: SparkSession | None = None) -> None:
     the final action on a pipeline's output (or let the next
     ``map_terms_df`` call in the same session reclaim it automatically)."""
     keys = [
-        k for k in list(_ACTIVE_MENTIONS) if spark is None or k == id(spark)
+        k
+        for k in list(_ACTIVE_MENTIONS)
+        if spark is None or k == session_cache_key(spark)
     ]
     for k in keys:
         df = _ACTIVE_MENTIONS.pop(k)
@@ -65,7 +68,9 @@ def release_pipeline_cache(spark: SparkSession | None = None) -> None:
             # rest, and always drop the dict reference either way
             pass
     for k in [
-        k for k in list(_ACTIVE_DELTAS) if spark is None or k == id(spark)
+        k
+        for k in list(_ACTIVE_DELTAS)
+        if spark is None or k == session_cache_key(spark)
     ]:
         for df in _ACTIVE_DELTAS.pop(k):
             try:
@@ -154,19 +159,21 @@ def map_terms_df(
     from pyspark import StorageLevel
 
     sess = mentions.sparkSession
-    prev = _ACTIVE_MENTIONS.pop(id(sess), None)
+    prev = _ACTIVE_MENTIONS.pop(session_cache_key(sess), None)
     if prev is not None:
         prev.unpersist()
     mentions = mentions.persist(StorageLevel.MEMORY_AND_DISK)
-    _ACTIVE_MENTIONS[id(sess)] = mentions
+    _ACTIVE_MENTIONS[session_cache_key(sess)] = mentions
 
     to_map = post.filter_ignored(mentions)
     if cfg.mapper == Mapper.TFIDF:
         # a prebuilt index proves the ontology is broadcast-sized; a
-        # caller-supplied whole-corpus IDF pins the broadcast plan too (the
-        # inverted plan computes IDF from ITS input, which would silently
-        # break the bucketed==unbucketed contract CheckpointedRun relies
-        # on). Otherwise auto-fall back to the pure-DataFrame inverted-
+        # caller-supplied whole-corpus IDF pins the AUTO-dispatch to the
+        # broadcast plan too (the artifacts were built for the kernel; an
+        # explicit use_inverted_index=True instead THREADS the frozen
+        # source model through — see below — so the bucketed==unbucketed
+        # and incremental==rebuild contracts hold on either plan).
+        # Otherwise auto-fall back to the pure-DataFrame inverted-
         # index plan past the label count where the index outgrows
         # driver/executor MEMORY (~300 B/name; see the r4 measurement in
         # config.inverted_index_min_labels — the kernel beats the inverted
@@ -183,7 +190,24 @@ def map_terms_df(
             >= cfg.inverted_index_min_labels
         )
         if use_inverted:
-            candidates = tfidf_map_inverted_index(to_map, labels, cfg)
+            if tfidf_index is not None:
+                # the broadcast-kernel CSR index has no inverted-plan
+                # counterpart — silently ignoring it would skew per-call
+                # economics the caller paid for; postings for this plan
+                # are a relation, rebuilt per call (or pass target_idf
+                # via the operator directly)
+                raise ValueError(
+                    "map_terms_df: tfidf_index (broadcast-kernel CSR) "
+                    "cannot be honored with use_inverted_index=True — "
+                    "drop the index, or unset use_inverted_index"
+                )
+            # the frozen whole-corpus source model MUST thread through:
+            # incremental/streaming maintenance requires fresh and reused
+            # triples to score on one model, and config directs >4M-label
+            # ontologies to this plan (r4 ADVICE high)
+            candidates = tfidf_map_inverted_index(
+                to_map, labels, cfg, source_idf=tfidf_source_idf
+            )
         else:
             candidates = tfidf_map_broadcast(
                 to_map, labels, cfg,
@@ -586,7 +610,9 @@ def incremental_kg_delta(
     from pyspark import StorageLevel
 
     changed_urls = changed_urls.persist(StorageLevel.MEMORY_AND_DISK)
-    slot = _ACTIVE_DELTAS.setdefault(id(new_pages.sparkSession), [])
+    slot = _ACTIVE_DELTAS.setdefault(
+        session_cache_key(new_pages.sparkSession), []
+    )
     slot.append(changed_urls)
     if len(slot) > _MAX_DELTA_CACHE:
         try:
@@ -928,7 +954,7 @@ def incremental_kg_ontology_delta(
     # each downstream action replays the probe kernel over the whole
     # corpus (same hazard as incremental_kg_delta's changed set)
     affected = affected.persist(StorageLevel.MEMORY_AND_DISK)
-    slot = _ACTIVE_DELTAS.setdefault(id(sess), [])
+    slot = _ACTIVE_DELTAS.setdefault(session_cache_key(sess), [])
     slot.append(affected)
     if len(slot) > _MAX_DELTA_CACHE:
         try:

@@ -22,6 +22,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ontology_mapper_spark.session import session_cache_key
+
 BASE_IRI = "http://ccb.hms.harvard.edu/t2t/"
 
 MENTIONS_SCHEMA = T.StructType(
@@ -79,7 +81,7 @@ def mentions_from_dict(spark: SparkSession, tagged: dict) -> DataFrame:
 # more than _SALTED_CACHE_MAX live mention DataFrames concurrently can
 # see an early eviction, and then only on a nondeterministic upstream —
 # the shipped file/CSV scans replay deterministically regardless).
-_ACTIVE_SALTED: dict[int, list[DataFrame]] = {}
+_ACTIVE_SALTED: dict[str, list[DataFrame]] = {}
 _SALTED_CACHE_MAX = 16
 
 
@@ -87,7 +89,11 @@ def release_ordinal_cache(spark=None) -> None:
     """Unpersist every salted-ordinal relation cached by prior
     ``mentions_from_file`` / ``mentions_from_csv`` calls (or all sessions'
     when ``spark`` is None). Safe to call after the session stopped."""
-    keys = [k for k in list(_ACTIVE_SALTED) if spark is None or k == id(spark)]
+    keys = [
+        k
+        for k in list(_ACTIVE_SALTED)
+        if spark is None or k == session_cache_key(spark)
+    ]
     for k in keys:
         for df in _ACTIVE_SALTED.pop(k):
             try:
@@ -156,7 +162,7 @@ def _with_stable_ordinal(
         ).cast("int"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
     sess = df.sparkSession
-    slots = _ACTIVE_SALTED.setdefault(id(sess), [])
+    slots = _ACTIVE_SALTED.setdefault(session_cache_key(sess), [])
     slots.append(salted)
     while len(slots) > _SALTED_CACHE_MAX:
         try:

@@ -263,3 +263,102 @@ def test_requests_transport_rejects_zero_retries():
 
     with pytest.raises(ValueError, match="max_retries"):
         RequestsTransport(max_retries=0)
+
+
+@pytest.mark.spark
+def test_inverted_plan_frozen_source_idf_matches_kernel(spark):
+    """r4 ADVICE (high): slice-wise execution under the INVERTED plan.
+    A frozen whole-corpus source model threaded into
+    ``tfidf_map_inverted_index`` must score a slice exactly like the
+    broadcast kernel does with the same model — including grams the model
+    never saw (df=0 fallback)."""
+    from ontology_mapper_spark.operators.tfidf import source_idf_map
+
+    cfg = MappingConfig(min_score=0.0, max_mappings=5)
+    full = spark.createDataFrame(
+        [(f"id{i}", t) for i, t in enumerate(SOURCE_TERMS)],
+        ["source_term_id", "source_term"],
+    )
+    model = source_idf_map(full, cfg.ngram_length)
+    # slice includes a term whose grams are ABSENT from the model corpus
+    slice_terms = ["asthma", "allergy", "zzqx unseen zxx"]
+    mentions = spark.createDataFrame(
+        [(f"s{i}", t) for i, t in enumerate(slice_terms)],
+        ["source_term_id", "source_term"],
+    )
+    onto = filter_terms_df(
+        fixture_onto_terms(spark), cfg.base_iris, cfg.excl_deprecated,
+        cfg.term_type,
+    )
+    labels = onto_labels_df(onto)
+    a = [
+        r.asDict()
+        for r in tfidf_map_broadcast(mentions, labels, cfg, source_idf=model)
+        .orderBy("source_term_id", F.desc("mapping_score"), "mapped_term_iri")
+        .collect()
+    ]
+    b = [
+        r.asDict()
+        for r in tfidf_map_inverted_index(
+            mentions, labels, cfg, source_idf=model
+        )
+        .orderBy("source_term_id", F.desc("mapping_score"), "mapped_term_iri")
+        .collect()
+    ]
+    assert len(a) == len(b) and len(a) > 0
+    for ra, rb in zip(a, b):
+        assert ra["source_term_id"] == rb["source_term_id"]
+        assert ra["mapped_term_iri"] == rb["mapped_term_iri"]
+        assert abs(ra["mapping_score"] - rb["mapping_score"]) < 1e-9
+
+
+@pytest.mark.spark
+def test_map_terms_df_rejects_kernel_index_with_inverted_plan(spark):
+    """r4 ADVICE (high): an explicit use_inverted_index=True cannot honor
+    a broadcast-kernel CSR index — must fail loudly, not silently refit."""
+    from ontology_mapper_spark.pipeline import build_pipeline_index, map_terms_df
+
+    onto = fixture_onto_terms(spark)
+    mentions = spark.createDataFrame(
+        [("id0", "asthma", None)], "source_term_id string, source_term string, tags array<string>"
+    )
+    idx = build_pipeline_index(onto)
+    cfg = MappingConfig(use_inverted_index=True)
+    with pytest.raises(ValueError, match="use_inverted_index"):
+        map_terms_df(mentions, onto, cfg, tfidf_index=idx)
+
+
+@pytest.mark.spark
+def test_map_terms_df_threads_frozen_idf_into_inverted_plan(spark):
+    """The documented >4M-label regime combination: use_inverted_index=True
+    + frozen tfidf_source_idf. The frozen model must reach the inverted
+    plan (not be silently dropped for a delta-local self-fit): scoring a
+    SLICE with the full-corpus model equals the full run's rows for that
+    slice."""
+    from ontology_mapper_spark.operators.tfidf import source_idf_map
+    from ontology_mapper_spark.pipeline import map_terms_df
+
+    cfg = MappingConfig(use_inverted_index=True, min_score=0.1)
+    onto = fixture_onto_terms(spark)
+    full = spark.createDataFrame(
+        [(f"id{i}", t, None) for i, t in enumerate(SOURCE_TERMS)],
+        "source_term_id string, source_term string, tags array<string>",
+    )
+    model = source_idf_map(full, cfg.ngram_length)
+    full_rows = {
+        (r["source_term_id"], r["mapped_term_iri"]): r["mapping_score"]
+        for r in map_terms_df(
+            full, onto, cfg, tfidf_source_idf=model
+        ).collect()
+    }
+    part = full.filter(F.col("source_term_id").isin("id0", "id5", "id7"))
+    slice_rows = {
+        (r["source_term_id"], r["mapped_term_iri"]): r["mapping_score"]
+        for r in map_terms_df(
+            part, onto, cfg, tfidf_source_idf=model
+        ).collect()
+    }
+    expected = {
+        k: v for k, v in full_rows.items() if k[0] in ("id0", "id5", "id7")
+    }
+    assert slice_rows == expected and len(slice_rows) > 0
