@@ -663,9 +663,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             tfidf_source_idf=src_idf,
             tfidf_index=build_pipeline_index(v1, cfg, target_idf=tgt_idf),
         )
+        # rebuild_below_labels=None: the gate's whole point is proving the
+        # INCREMENTAL plan ≡ the oracle's full rebuild — at fixture
+        # dimension the default valve would (correctly, for production)
+        # dispatch to rebuild and the proof would test nothing
         out = incremental_kg_ontology(
             pages, prev_triples, v1, v2, cfg,
             tfidf_source_idf=src_idf, tfidf_target_idf=tgt_idf,
+            rebuild_below_labels=None,
         )
         return out.select(
             "subj",

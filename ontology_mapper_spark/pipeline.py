@@ -656,6 +656,92 @@ def label_delta(
     return n.exceptAll(p), p.exceptAll(n)
 
 
+def _onto_release_cfg(
+    cfg: MappingConfig | None,
+    tfidf_source_idf=None,
+    tfidf_target_idf=None,
+) -> MappingConfig:
+    """Shared validation + normalization for the ontology-release
+    maintenance entry points (``incremental_kg_ontology`` and its CDC
+    form). Centralized so BOTH sides of the regime valve — including the
+    dimension-size early dispatch that never reaches the delta call —
+    reject invalid configurations with the identical error."""
+    import dataclasses
+
+    cfg = cfg or MappingConfig()
+    if cfg.mapper in (Mapper.ZOOMA, Mapper.BIOPORTAL):
+        # before validate(): this is a structural rejection (no transport
+        # configuration can make external-service scores provably reusable)
+        raise ValueError(
+            "incremental_kg_ontology supports the TF-IDF and syntactic "
+            "mappers only: API mappers score against external service "
+            "state, so previous results cannot be proven reusable"
+        )
+    cfg.validate()
+    if cfg.mapper == Mapper.TFIDF and (
+        tfidf_source_idf is None or tfidf_target_idf is None
+    ):
+        raise ValueError(
+            "incremental_kg_ontology with the TF-IDF mapper requires BOTH "
+            "frozen models — tfidf_source_idf (operators.tfidf."
+            "source_idf_map, corpus state) and tfidf_target_idf "
+            "(operators.tfidf.target_idf_map, ontology-snapshot state): "
+            "triple reuse is only valid when fresh and reused rows score "
+            "on the identical model pair that produced prev_triples"
+        )
+    if cfg.dedup_scoring is None:
+        # same default as construct_kg (BOTH mappers — the remap must run
+        # the identical plan a full construct_kg rebuild would)
+        cfg = dataclasses.replace(cfg, dedup_scoring=True)
+    return cfg
+
+
+def _onto_release_rebuild(
+    pages: DataFrame,
+    new_onto_terms: DataFrame,
+    cfg: MappingConfig,
+    tfidf_source_idf,
+    tfidf_target_idf,
+    tfidf_new_index,
+    mentions_table: DataFrame | None,
+    langs: tuple,
+    reextract: bool,
+) -> DataFrame:
+    """The valve's full-rebuild leg: ``construct_kg`` over the new
+    ontology under the SAME frozen models — row-identical to the
+    incremental leg by the gate-checked invariant; only the physical
+    plan differs."""
+    import dataclasses
+
+    if cfg.mapper != Mapper.TFIDF:
+        # the incremental side pins the exact syntactic plan
+        # (slice-dependent prefilter candidates); the valve must
+        # produce the identical relation
+        cfg = dataclasses.replace(cfg, candidate_prefilter=False)
+    idx = (
+        (
+            tfidf_new_index
+            if tfidf_new_index is not None
+            else build_pipeline_index(
+                new_onto_terms, cfg, target_idf=tfidf_target_idf
+            )
+        )
+        if cfg.mapper == Mapper.TFIDF
+        else None
+    )
+    if mentions_table is not None:
+        return construct_kg_from_mentions(
+            mentions_table, new_onto_terms, cfg,
+            tfidf_source_idf=tfidf_source_idf, tfidf_index=idx,
+        )
+    return construct_kg(
+        pages, new_onto_terms, cfg,
+        langs=langs, reextract=reextract,
+        tfidf_source_idf=tfidf_source_idf,
+        tfidf_index=idx,
+    )
+
+
 def incremental_kg_ontology(
     pages: DataFrame,
     prev_triples: DataFrame,
@@ -669,6 +755,7 @@ def incremental_kg_ontology(
     langs: tuple = ("en",),
     reextract: bool = False,
     full_remap_fraction: float | None = 0.5,
+    rebuild_below_labels: int | None = 40_000,
 ) -> DataFrame:
     """Advance the KG across an ONTOLOGY release: re-map only the
     mentions the label delta can affect, reuse every other triple from
@@ -721,25 +808,61 @@ def incremental_kg_ontology(
     ``incremental_kg`` for a cycle where both corpus and ontology moved:
     apply the corpus delta first (old ontology), then this function.
 
-    ``full_remap_fraction``: the regime valve. The affected fraction is
-    DATA-dependent — a release whose added labels share the corpus's
-    head vocabulary can legitimately affect most mentions (measured: a
-    1% delta of generic-vocabulary labels over the bench corpus at
-    min_score=0.3 affects >50% of them), at which point
-    probe+remap+anti-join costs more than simply re-mapping everything.
-    When the affected count exceeds this fraction of the corpus's
-    mentions, fall back to a full ``construct_kg`` over the new
-    ontology — same frozen models, so the OUTPUT IS IDENTICAL either
+    ``full_remap_fraction`` / ``rebuild_below_labels``: the regime
+    valve, two terms because the two cost regimes have different causes:
+
+    - DIMENSION SIZE decides first (``rebuild_below_labels``, checked
+      BEFORE any probe work — a dimension-side label count only).
+      Per-mention kernel cost has a floor set by Arrow transfer +
+      per-string n-gram work that a small dimension cannot reduce, so
+      below ~40k labels the probe pass over the corpus costs nearly as
+      much as simply re-mapping everything — and the incremental leg
+      then pays probe + remap + two joins on top. Measured (bench.py
+      --onto-run, 1.44M pages / 5.2M mentions): delta_speedup 0.40x at
+      5k labels vs 2.21x at 200k; the log-interpolated crossover sits
+      at ~37k labels, rounded to the 40_000 default. Below the
+      threshold the valve dispatches straight to full rebuild without
+      paying the probe, so its worst case is rebuild + one label count.
+    - AFFECTED FRACTION decides second (``full_remap_fraction``). The
+      fraction is DATA-dependent — a release whose added labels share
+      the corpus's head vocabulary can legitimately affect most
+      mentions (measured: a 1% delta of generic-vocabulary labels over
+      the bench corpus at min_score=0.3 affects >50% of them), at which
+      point remap+anti-join costs more than re-mapping everything even
+      though the probe is already paid.
+
+    Same frozen models on both legs, so the OUTPUT IS IDENTICAL either
     way (the invariant tests and the gate query hold on both sides of
-    the valve); only the physical plan changes. ``None`` disables the
-    valve (always incremental — the CDC form
-    ``incremental_kg_ontology_delta`` never valves, by contract).
+    the valve); only the physical plan changes. ``full_remap_fraction=
+    None`` disables the valve entirely — BOTH terms — (always
+    incremental — the CDC form ``incremental_kg_ontology_delta`` never
+    valves, by contract); ``rebuild_below_labels=None`` disables just
+    the dimension term.
 
     ``tfidf_new_index`` / ``mentions_table``: amortizable prior state —
     see ``incremental_kg_ontology_delta``'s docstring for the exact
     contracts (same-config same-model index; detection output for this
     exact corpus).
     """
+    if full_remap_fraction is not None and rebuild_below_labels is not None:
+        # dimension term, BEFORE any probe work: validate exactly like the
+        # delta path would (identical errors on both sides of the valve),
+        # then one dimension-side label count
+        vcfg = _onto_release_cfg(cfg, tfidf_source_idf, tfidf_target_idf)
+        n_labels = _label_count(
+            onto_labels_df(
+                filter_terms_df(
+                    new_onto_terms, vcfg.base_iris, vcfg.excl_deprecated,
+                    vcfg.term_type,
+                )
+            )
+        )
+        if n_labels < rebuild_below_labels:
+            return _onto_release_rebuild(
+                pages, new_onto_terms, vcfg,
+                tfidf_source_idf, tfidf_target_idf, tfidf_new_index,
+                mentions_table, langs, reextract,
+            )
     fresh, affected = incremental_kg_ontology_delta(
         pages, prev_triples, prev_onto_terms, new_onto_terms, cfg,
         tfidf_source_idf=tfidf_source_idf,
@@ -749,44 +872,29 @@ def incremental_kg_ontology(
         langs=langs, reextract=reextract,
     )
     if full_remap_fraction is not None:
-        from ontology_mapper_spark.sources.pages import detect_mentions
+        from ontology_mapper_spark.sources.pages import (
+            detect_mentions,
+            extract_text,
+        )
 
         n_affected = affected.count()  # persisted by the delta call
-        n_mentions = (
-            mentions_table
-            if mentions_table is not None
-            else detect_mentions(pages, langs=langs)
-        ).count()
-        if n_affected > full_remap_fraction * n_mentions:
-            import dataclasses
-
-            cfg = cfg or MappingConfig()
-            if cfg.mapper != Mapper.TFIDF:
-                # the incremental side pins the exact syntactic plan
-                # (slice-dependent prefilter candidates); the valve must
-                # produce the identical relation
-                cfg = dataclasses.replace(cfg, candidate_prefilter=False)
-            idx = (
-                (
-                    tfidf_new_index
-                    if tfidf_new_index is not None
-                    else build_pipeline_index(
-                        new_onto_terms, cfg, target_idf=tfidf_target_idf
-                    )
-                )
-                if cfg.mapper == Mapper.TFIDF
-                else None
+        if mentions_table is not None:
+            corpus_mentions = mentions_table
+        else:
+            # mirror the delta's own detection input: with reextract the
+            # text column must be (re)derived from the payload first — a
+            # raw-pages detect here would either fail (no text column) or
+            # count stale mentions, skewing the valve ratio (r4 ADVICE)
+            corpus_mentions = detect_mentions(
+                extract_text(pages) if reextract else pages, langs=langs
             )
-            if mentions_table is not None:
-                return construct_kg_from_mentions(
-                    mentions_table, new_onto_terms, cfg,
-                    tfidf_source_idf=tfidf_source_idf, tfidf_index=idx,
-                )
-            return construct_kg(
-                pages, new_onto_terms, cfg,
-                langs=langs, reextract=reextract,
-                tfidf_source_idf=tfidf_source_idf,
-                tfidf_index=idx,
+        n_mentions = corpus_mentions.count()
+        if n_affected > full_remap_fraction * n_mentions:
+            return _onto_release_rebuild(
+                pages, new_onto_terms,
+                _onto_release_cfg(cfg, tfidf_source_idf, tfidf_target_idf),
+                tfidf_source_idf, tfidf_target_idf, tfidf_new_index,
+                mentions_table, langs, reextract,
             )
     kept = prev_triples.join(
         affected.withColumnRenamed("source_term_id", "subj"),
@@ -847,30 +955,8 @@ def incremental_kg_ontology_delta(
         extract_text,
     )
 
-    cfg = cfg or MappingConfig()
-    if cfg.mapper in (Mapper.ZOOMA, Mapper.BIOPORTAL):
-        # before validate(): this is a structural rejection (no transport
-        # configuration can make external-service scores provably reusable)
-        raise ValueError(
-            "incremental_kg_ontology supports the TF-IDF and syntactic "
-            "mappers only: API mappers score against external service "
-            "state, so previous results cannot be proven reusable"
-        )
-    cfg.validate()
+    cfg = _onto_release_cfg(cfg, tfidf_source_idf, tfidf_target_idf)
     is_tfidf = cfg.mapper == Mapper.TFIDF
-    if is_tfidf and (tfidf_source_idf is None or tfidf_target_idf is None):
-        raise ValueError(
-            "incremental_kg_ontology with the TF-IDF mapper requires BOTH "
-            "frozen models — tfidf_source_idf (operators.tfidf."
-            "source_idf_map, corpus state) and tfidf_target_idf "
-            "(operators.tfidf.target_idf_map, ontology-snapshot state): "
-            "triple reuse is only valid when fresh and reused rows score "
-            "on the identical model pair that produced prev_triples"
-        )
-    if cfg.dedup_scoring is None:
-        # same default as construct_kg (BOTH mappers — the remap must run
-        # the identical plan a full construct_kg rebuild would)
-        cfg = dataclasses.replace(cfg, dedup_scoring=True)
 
     prev_onto = filter_terms_df(
         prev_onto_terms, cfg.base_iris, cfg.excl_deprecated, cfg.term_type

@@ -85,6 +85,7 @@ def test_incremental_equals_full_rebuild(spark, state):
     out = incremental_kg_ontology(
         pages, prev, v1, v2, cfg,
         tfidf_source_idf=src_idf, tfidf_target_idf=tgt_idf,
+        rebuild_below_labels=None,
     )
     full = construct_kg(
         pages, v2, cfg,
@@ -100,6 +101,7 @@ def test_unmapped_mention_becomes_mapped(spark, state):
     out = incremental_kg_ontology(
         pages, prev, v1, v2, cfg,
         tfidf_source_idf=src_idf, tfidf_target_idf=tgt_idf,
+        rebuild_below_labels=None,
     )
     # "carbon monoxide" mentions were guaranteed-unmapped under v1 and
     # must link to the new term — the transition a reuse-only scheme
@@ -113,6 +115,7 @@ def test_removed_term_triples_gone(spark, state):
     out = incremental_kg_ontology(
         pages, prev, v1, v2, cfg,
         tfidf_source_idf=src_idf, tfidf_target_idf=tgt_idf,
+        rebuild_below_labels=None,
     )
     assert out.filter(F.col("obj") == REMOVED_IRI).count() == 0
 
@@ -147,6 +150,7 @@ def test_empty_delta_reuses_everything(spark, state):
     out = incremental_kg_ontology(
         pages, prev, v1, v1, cfg,
         tfidf_source_idf=src_idf, tfidf_target_idf=tgt_idf,
+        rebuild_below_labels=None,
     )
     assert _key(out) == _key(prev)
 
@@ -225,6 +229,7 @@ def test_compose_corpus_then_ontology_delta(spark, state):
     step2 = incremental_kg_ontology(
         latest, step1, v1, v2, cfg,
         tfidf_source_idf=src_idf, tfidf_target_idf=tgt_idf,
+        rebuild_below_labels=None,
     )
     full = construct_kg(
         latest, v2, cfg,
@@ -308,6 +313,7 @@ def test_mentions_table_and_prebuilt_index_contracts(spark, state):
         pages, prev, v1, v2, cfg,
         tfidf_source_idf=src_idf, tfidf_target_idf=tgt_idf,
         tfidf_new_index=idx2, mentions_table=mt,
+        rebuild_below_labels=None,
     )
     assert _key(out) == _key(full)
     valved = incremental_kg_ontology(
@@ -328,6 +334,85 @@ def test_syntactic_incremental_equals_full_rebuild(spark, state):
         candidate_prefilter=False,
     )
     prev = construct_kg(pages, v1, cfg)
-    out = incremental_kg_ontology(pages, prev, v1, v2, cfg)
+    out = incremental_kg_ontology(
+        pages, prev, v1, v2, cfg, rebuild_below_labels=None
+    )
     full = construct_kg(pages, v2, cfg)
+    assert _key(out) == _key(full)
+
+
+def test_dimension_valve_dispatches_rebuild_at_small_dims(spark, state):
+    """r4 VERDICT #2 (wrong #2): the valve mis-dispatched the slower
+    incremental plan at small dimensions (measured 0.4x at 5k labels vs
+    2.21x at 200k — per-mention kernel cost has an Arrow/per-string floor
+    a small dimension can't reduce, so the probe pass costs nearly a full
+    re-map). The dimension term dispatches straight to full rebuild BELOW
+    ``rebuild_below_labels`` without paying the probe. Observable: the
+    rebuild leg never reads ``prev_triples``, so poisoned previous state
+    must NOT leak into the output — while the forced-incremental control
+    leg (rebuild_below_labels=None, full_remap_fraction=None) keeps it."""
+    pages, v1, v2, cfg, src_idf, tgt_idf, prev = state
+    poison = prev.unionByName(
+        spark.createDataFrame(
+            [("poison-subj", "http://example.org/mentions",
+              "http://example.org/poison", 0.999)],
+            "subj string, pred string, obj string, score double",
+        ).withColumn("score", F.col("score").cast(prev.schema["score"].dataType))
+    )
+    # fixture dimension is far below the 40k default -> rebuild leg
+    out = incremental_kg_ontology(
+        pages, poison, v1, v2, cfg,
+        tfidf_source_idf=src_idf, tfidf_target_idf=tgt_idf,
+    )
+    assert out.filter(F.col("subj") == "poison-subj").count() == 0
+    full = construct_kg(
+        pages, v2, cfg,
+        tfidf_source_idf=src_idf,
+        tfidf_index=build_pipeline_index(v2, cfg, target_idf=tgt_idf),
+    )
+    assert _key(out) == _key(full)
+    # control: with the valve fully disabled the incremental plan reuses
+    # previous triples verbatim — the poison row survives (its subject is
+    # not an affected mention)
+    control = incremental_kg_ontology(
+        pages, poison, v1, v2, cfg,
+        tfidf_source_idf=src_idf, tfidf_target_idf=tgt_idf,
+        full_remap_fraction=None, rebuild_below_labels=None,
+    )
+    assert control.filter(F.col("subj") == "poison-subj").count() == 1
+
+
+def test_dimension_valve_validates_like_the_delta_path(spark, state):
+    """Both sides of the valve must reject invalid configurations with
+    the identical error — the early-rebuild dispatch can't silently skip
+    the frozen-model / mapper contracts the delta path enforces."""
+    pages, v1, v2, cfg, src_idf, tgt_idf, prev = state
+    with pytest.raises(ValueError, match="BOTH frozen models"):
+        incremental_kg_ontology(
+            pages, prev, v1, v2, cfg, tfidf_source_idf=src_idf
+        )
+    with pytest.raises(ValueError, match="API mappers"):
+        incremental_kg_ontology(
+            pages, prev, v1, v2,
+            dataclasses.replace(cfg, mapper=Mapper.ZOOMA),
+        )
+
+
+def test_fraction_valve_honors_reextract(spark, state):
+    """r4 ADVICE (low): the affected-fraction valve counted mentions via
+    detect_mentions(pages) without honoring ``reextract`` — with raw
+    HTML-only pages it raised AnalysisException before this fix. The
+    whole call must now work end-to-end from payload-only pages."""
+    pages, v1, v2, cfg, src_idf, tgt_idf, prev = state
+    raw = pages.select("url", "warc_ts", "html", "lang")
+    out = incremental_kg_ontology(
+        raw, prev, v1, v2, cfg,
+        tfidf_source_idf=src_idf, tfidf_target_idf=tgt_idf,
+        reextract=True, rebuild_below_labels=None,
+    )
+    full = construct_kg(
+        pages, v2, cfg,
+        tfidf_source_idf=src_idf,
+        tfidf_index=build_pipeline_index(v2, cfg, target_idf=tgt_idf),
+    )
     assert _key(out) == _key(full)
