@@ -62,10 +62,11 @@ def stream_pages_to_triples(
         if batch_df.isEmpty():
             return
         triples = construct_kg(batch_df, onto_terms, cfg, tfidf_index=tfidf_index)
-        (
-            triples.withColumn("epoch", F.lit(epoch_id))
-            .write.mode("append")
-            .parquet(out_dir)
+        # epoch-scoped overwrite (Hive partition layout, epoch recovered
+        # by partition discovery): a checkpoint-replayed batch rewrites
+        # its own dir instead of appending duplicates
+        triples.write.mode("overwrite").parquet(
+            out_dir.rstrip("/") + f"/epoch={int(epoch_id)}"
         )
 
     writer = (
@@ -192,14 +193,21 @@ def stream_incremental_kg(
     State layout (all plain parquet — an Iceberg deployment swaps the
     latest-wins reader for MERGE commits):
 
-    - ``triples_dir``: append-only ``(subj, pred, obj, score, epoch)``.
-    - ``touched_dir``: append-only ``(url, epoch)`` — every url the epoch
-      re-mapped OR retired-by-change (the CDC ``drop`` relation), the
-      supersession log the reader resolves against.
-    - ``digest_dir/epoch=N``: the digest snapshot AFTER epoch N —
-      written with per-epoch overwrite, so a checkpoint-replayed batch
-      rewrites its own directory idempotently instead of corrupting the
-      prior state (never read-and-overwrite one live dir).
+    - ``triples_dir/epoch=N``: ``(subj, pred, obj, score)`` appended by
+      epoch N, epoch-scoped (see replay safety below).
+    - ``touched_dir/epoch=N``: ``(url)`` — every url epoch N re-mapped
+      OR retired-by-change (the CDC ``drop`` relation), the supersession
+      log the reader resolves against.
+    - ``digest_dir/epoch=N``: the digest snapshot AFTER epoch N.
+
+    Replay safety: ALL three state relations are written under
+    ``<dir>/epoch=N`` with per-epoch overwrite (Hive partition layout —
+    readers of the base dir recover ``epoch`` via partition discovery).
+    A micro-batch that fails after its writes but before the checkpoint
+    commit is re-run by Spark with the SAME ``epoch_id``; the replay
+    overwrites its own directories instead of appending duplicates, so
+    the foreachBatch sink is idempotent end-to-end, not just for the
+    digest snapshot.
 
     Read the current KG back with :func:`stream_current_triples`;
     equality with a batch rebuild over the latest corpus is pinned by
@@ -256,6 +264,7 @@ def stream_incremental_kg(
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        _check_compaction_lease(spark, triples_dir)
         # newest capture per url WITHIN the batch (a snapshot drop can
         # carry several captures of one url; mention ids are url#ordinal)
         w = Window.partitionBy("url").orderBy(F.desc("warc_ts"))
@@ -269,18 +278,9 @@ def stream_incremental_kg(
             batch, prev, onto_terms, cfg,
             tfidf_source_idf=tfidf_source_idf, tfidf_index=tfidf_index,
         )
-        (
-            fresh.withColumn("epoch", F.lit(int(epoch_id)))
-            .write.mode("append").parquet(triples_dir)
-        )
-        (
-            drop.select("url").withColumn("epoch", F.lit(int(epoch_id)))
-            .write.mode("append").parquet(touched_dir)
-        )
-        (
-            merge_digests(prev, batch)
-            .write.mode("overwrite")
-            .parquet(digest_dir.rstrip("/") + f"/epoch={int(epoch_id)}")
+        write_epoch_state(
+            fresh, drop.select("url"), merge_digests(prev, batch),
+            triples_dir, touched_dir, digest_dir, int(epoch_id),
         )
 
     writer = (
@@ -293,6 +293,91 @@ def stream_incremental_kg(
     return writer.start()
 
 
+def _fs_and_path(spark: SparkSession, path: str):
+    """Hadoop FileSystem handle + Path for any scheme (hdfs/s3a/file)."""
+    hpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath
+
+
+def write_epoch_state(
+    fresh: DataFrame,
+    touched_urls: DataFrame,
+    digests: DataFrame,
+    triples_dir: str,
+    touched_dir: str,
+    digest_dir: str,
+    epoch_id: int,
+) -> None:
+    """Write one epoch's state idempotently: each relation lands under
+    ``<dir>/epoch=N`` in OVERWRITE mode, so a checkpoint-replayed batch
+    (same ``epoch_id``) rewrites its own directories instead of
+    appending duplicate rows — the property a bare ``mode("append")``
+    into the base dir lacks. Hive partition naming means base-dir
+    readers recover ``epoch`` via partition discovery, no data column
+    needed. Module-level (not a closure) so the replay contract is
+    directly testable."""
+    for df, base in (
+        (fresh, triples_dir),
+        (touched_urls, touched_dir),
+        (digests, digest_dir),
+    ):
+        df.write.mode("overwrite").parquet(
+            base.rstrip("/") + f"/epoch={int(epoch_id)}"
+        )
+
+
+def _lease_path(triples_dir: str) -> str:
+    return triples_dir.rstrip("/") + "._compacting"
+
+
+def _check_compaction_lease(spark: SparkSession, triples_dir: str) -> None:
+    fs, lease = _fs_and_path(spark, _lease_path(triples_dir))
+    if fs.exists(lease):
+        raise RuntimeError(
+            f"stream log under compaction (lease {_lease_path(triples_dir)} "
+            "exists): a stream epoch must not write while compact_stream_log "
+            "rewrites the log. If the lease is stale (compactor crashed), "
+            "re-run compact_stream_log(break_lease=True) or delete the "
+            "lease file."
+        )
+
+
+def _recover_log_dir(spark: SparkSession, final: str) -> None:
+    """Finish or roll back an interrupted compaction swap for one log
+    dir. States a crash can leave (``t`` = ``<dir>._compact``, ``o`` =
+    ``<dir>._old``):
+
+    - final present, leftovers present — swap finished (or never
+      started): drop leftovers, final is authoritative.
+    - final absent, t present — crash between rename-aside and
+      promote; t was fully materialized before any rename began, so
+      promote it.
+    - final absent, only o present — crash right after rename-aside
+      with no temp (shouldn't happen, but restorable): roll back.
+
+    Because compaction preserves per-url epochs (see
+    :func:`compact_stream_log`), EVERY reachable state — including one
+    log dir swapped and the other not — resolves to the identical
+    current KG, so recovery never has to coordinate across the two
+    dirs."""
+    fs, fpath = _fs_and_path(spark, final)
+    _, tpath = _fs_and_path(spark, final.rstrip("/") + "._compact")
+    _, opath = _fs_and_path(spark, final.rstrip("/") + "._old")
+    if fs.exists(fpath):
+        for p in (tpath, opath):
+            if fs.exists(p):
+                fs.delete(p, True)
+        return
+    if fs.exists(tpath):
+        if not fs.rename(tpath, fpath):
+            raise IOError(f"recover: rename {tpath} -> {final} failed")
+        if fs.exists(opath):
+            fs.delete(opath, True)
+    elif fs.exists(opath):
+        if not fs.rename(opath, fpath):
+            raise IOError(f"recover: rename {opath} -> {final} failed")
+
+
 def stream_current_triples(
     spark: SparkSession, triples_dir: str, touched_dir: str
 ) -> DataFrame:
@@ -303,7 +388,13 @@ def stream_current_triples(
     the touched log, not the triples). Mention ids are ``url#ordinal``
     (``sources/pages.py``), so the url is everything before the LAST
     ``#``. One aggregate over the skinny touched log + one join — the
-    file-sink spelling of Iceberg MERGE-on-subj."""
+    file-sink spelling of Iceberg MERGE-on-subj.
+
+    Opens with a recovery pass: an interrupted compaction swap is
+    finished (or rolled back) before reading, so a compactor crash
+    never leaves the reader pointing at a missing directory."""
+    for d in (triples_dir, touched_dir):
+        _recover_log_dir(spark, d)
     triples = spark.read.parquet(triples_dir)
     last_touch = (
         spark.read.parquet(touched_dir)
@@ -320,54 +411,106 @@ def stream_current_triples(
 
 
 def compact_stream_log(
-    spark: SparkSession, triples_dir: str, touched_dir: str
+    spark: SparkSession,
+    triples_dir: str,
+    touched_dir: str,
+    break_lease: bool = False,
 ) -> tuple[int, int]:
     """Rewrite the :func:`stream_incremental_kg` logs to their resolved
     state: only LIVE triples survive (latest-wins, exactly what
-    :func:`stream_current_triples` reads), all tagged with one compacted
-    epoch, and the touched log collapses to one row per url at that
-    epoch. Lakehouse maintenance, not semantics — the resolved relation
-    is identical before and after (pinned by test); what changes is read
-    cost, which otherwise grows with every epoch (superseded rows are
-    scanned and filtered on every resolution; Iceberg deployments get
-    this from MERGE + snapshot expiry, a parquet-log deployment runs
-    this periodically).
+    :func:`stream_current_triples` reads) and the touched log collapses
+    to one row per url. Lakehouse maintenance, not semantics — the
+    resolved relation is identical before and after (pinned by test);
+    what changes is read cost, which otherwise grows with every epoch
+    (superseded rows are scanned and filtered on every resolution;
+    Iceberg deployments get this from MERGE + snapshot expiry, a
+    parquet-log deployment runs this periodically).
 
-    The compacted epoch is ``max(existing epoch)`` — an in-flight stream
-    restarted from its checkpoint continues at a LATER batch id, so new
-    epochs keep superseding compacted rows correctly. Returns
+    Compacted rows KEEP their per-url epochs (a url's surviving triples
+    stay at the url's last-touch epoch; the touched log keeps one row
+    per url at that same epoch). Preserving epochs rather than
+    re-tagging to a global max buys two properties: a checkpointed
+    stream restarted mid-compaction-recovery still supersedes correctly
+    (its next batch id is past every kept epoch), and — the crash-safety
+    property — ANY partial swap state (triples swapped, touched not, or
+    vice versa) resolves to the identical current KG, so the two dirs
+    never need an atomic cross-directory commit. Returns
     ``(live_triples, distinct_urls)``.
 
-    Write discipline: both relations are fully materialized to temp
-    sibling directories BEFORE the originals are replaced (a direct
-    overwrite would read and delete the same files), then swapped in
-    via Hadoop FileSystem delete+rename — any scheme (hdfs://, s3a://,
-    file:), like the rest of the state machinery. Run it between stream
-    runs, not concurrently with one."""
-    touched = spark.read.parquet(touched_dir)
-    epoch = touched.agg(F.max("epoch")).collect()[0][0]
-    live = stream_current_triples(spark, triples_dir, touched_dir)
-    urls = touched.select("url").distinct()
+    Write discipline: both relations are fully materialized to
+    ``<dir>._compact`` siblings BEFORE any original is touched (a
+    direct overwrite would read and delete the same files), then each
+    is swapped via rename-aside (``final -> final._old``, ``._compact
+    -> final``, drop ``._old``) on the Hadoop FileSystem API — any
+    scheme (hdfs://, s3a://, file:). A crash at any point is repaired
+    by the recovery pass that opens this function and
+    :func:`stream_current_triples`.
 
-    tmp_t = triples_dir.rstrip("/") + "._compact"
-    tmp_u = touched_dir.rstrip("/") + "._compact"
-    live.withColumn("epoch", F.lit(int(epoch))).write.mode(
-        "overwrite"
-    ).parquet(tmp_t)
-    urls.withColumn("epoch", F.lit(int(epoch))).write.mode(
-        "overwrite"
-    ).parquet(tmp_u)
-    n_live = spark.read.parquet(tmp_t).count()
-    n_urls = spark.read.parquet(tmp_u).count()
-    jvm = spark._jvm
-    for final, tmp in ((triples_dir, tmp_t), (touched_dir, tmp_u)):
-        fpath = jvm.org.apache.hadoop.fs.Path(final)
-        tpath = jvm.org.apache.hadoop.fs.Path(tmp)
-        fs = fpath.getFileSystem(spark._jsc.hadoopConfiguration())
-        fs.delete(fpath, True)
-        if not fs.rename(tpath, fpath):
-            raise IOError(
-                f"compact_stream_log: rename {tmp} -> {final} failed; "
-                "compacted data is intact under the temp path"
+    Concurrency: takes a lease file (``<triples_dir>._compacting``,
+    atomic create) for the duration; a stream epoch that fires while
+    the lease exists fails loudly instead of appending into a log being
+    rewritten, and a second concurrent compactor refuses to start.
+    ``break_lease=True`` reclaims a stale lease after a compactor
+    crash. Returns ``(0, 0)`` without touching anything if the touched
+    log is missing or empty."""
+    for d in (triples_dir, touched_dir):
+        _recover_log_dir(spark, d)
+    fs, lease = _fs_and_path(spark, _lease_path(triples_dir))
+    if fs.exists(lease):
+        if not break_lease:
+            raise RuntimeError(
+                f"compact_stream_log: lease {_lease_path(triples_dir)} "
+                "exists — another compaction is running (or crashed; pass "
+                "break_lease=True to reclaim)"
             )
-    return n_live, n_urls
+        fs.delete(lease, False)
+    tfs, tpath = _fs_and_path(spark, touched_dir)
+    if not tfs.exists(tpath):
+        return 0, 0
+    touched = spark.read.parquet(touched_dir)
+    if touched.isEmpty():
+        return 0, 0
+    # atomic create: two compactors racing past the exists() check above
+    # still serialize here (HDFS/posix createNewFile is exclusive)
+    if not fs.createNewFile(lease):
+        raise RuntimeError(
+            "compact_stream_log: lost the lease race to a concurrent "
+            "compaction"
+        )
+    try:
+        last_touch = touched.groupBy("url").agg(
+            F.max("epoch").alias("epoch")
+        )
+        url = F.expr(
+            "substring(subj, 1, length(subj) - locate('#', reverse(subj)))"
+        )
+        live = (
+            spark.read.parquet(triples_dir)
+            .withColumn("url", url)
+            .withColumnRenamed("epoch", "_row_epoch")
+            .join(last_touch, "url")
+            .filter(F.col("_row_epoch") == F.col("epoch"))
+            .select("subj", "pred", "obj", "score", "epoch")
+        )
+
+        tmp_t = triples_dir.rstrip("/") + "._compact"
+        tmp_u = touched_dir.rstrip("/") + "._compact"
+        live.write.mode("overwrite").partitionBy("epoch").parquet(tmp_t)
+        last_touch.write.mode("overwrite").partitionBy("epoch").parquet(tmp_u)
+        n_live = spark.read.parquet(tmp_t).count()
+        n_urls = spark.read.parquet(tmp_u).count()
+        for final, tmp in ((triples_dir, tmp_t), (touched_dir, tmp_u)):
+            ffs, fpath = _fs_and_path(spark, final)
+            _, tp = _fs_and_path(spark, tmp)
+            _, op = _fs_and_path(spark, final.rstrip("/") + "._old")
+            if not ffs.rename(fpath, op):
+                raise IOError(f"compact: rename-aside {final} failed")
+            if not ffs.rename(tp, fpath):
+                raise IOError(
+                    f"compact: promote {tmp} -> {final} failed; recovery "
+                    "will finish the swap on next read"
+                )
+            ffs.delete(op, True)
+        return n_live, n_urls
+    finally:
+        fs.delete(lease, False)

@@ -244,3 +244,101 @@ def test_stream_incremental_kg_latest_wins_and_reuse(spark, tmp_path):
         tfidf_index=build_pipeline_index(onto, cfg),
     )
     assert key(got3) == key(full3)
+
+
+@pytest.mark.spark
+def test_stream_log_replay_crash_recovery_and_lease(spark, tmp_path):
+    """The stream-log durability contract, driven without a streaming
+    query (the functions are batch-side):
+
+    - checkpoint REPLAY of an epoch (same epoch_id re-written) leaves
+      the resolved KG unchanged — epoch-scoped overwrite, no duplicate
+      appends;
+    - every crash window of the compaction swap (before any rename,
+      between rename-aside and promote, only ._old left) reads back
+      identically via the recovery pass;
+    - the compaction lease makes a concurrent stream epoch and a second
+      compactor fail loudly, and break_lease reclaims a stale one;
+    - compaction preserves per-url epochs (the property that makes a
+      half-swapped pair of log dirs semantically consistent);
+    - an empty/missing touched log short-circuits to (0, 0).
+    """
+    import shutil
+
+    from ontology_mapper_spark.streaming.ingest import (
+        _check_compaction_lease,
+        _lease_path,
+        compact_stream_log,
+        stream_current_triples,
+        write_epoch_state,
+    )
+
+    t, u, g = (str(tmp_path / k) for k in ("triples", "touched", "digest"))
+
+    def triples(rows):
+        return spark.createDataFrame(
+            rows, "subj string, pred string, obj string, score double"
+        )
+
+    def urls(us):
+        return spark.createDataFrame([(x,) for x in us], "url string")
+
+    dig = spark.createDataFrame([("u", "d")], "url string, digest string")
+
+    # empty-log guard: nothing written yet
+    assert compact_stream_log(spark, t, u) == (0, 0)
+
+    e0 = triples(
+        [("http://a#0", "mappedTo", "X", 1.0),
+         ("http://b#0", "mappedTo", "Y", 0.5)]
+    )
+    e1 = triples([("http://a#0", "mappedTo", "Z", 0.9)])
+    write_epoch_state(e0, urls(["http://a", "http://b"]), dig, t, u, g, 0)
+    write_epoch_state(e0, urls(["http://a", "http://b"]), dig, t, u, g, 0)
+    write_epoch_state(e1, urls(["http://a"]), dig, t, u, g, 1)
+    write_epoch_state(e1, urls(["http://a"]), dig, t, u, g, 1)
+
+    def resolved():
+        return sorted(
+            map(tuple, stream_current_triples(spark, t, u).collect())
+        )
+
+    want = sorted(
+        [("http://a#0", "mappedTo", "Z", 0.9),
+         ("http://b#0", "mappedTo", "Y", 0.5)]
+    )
+    assert resolved() == want  # replayed epochs did not duplicate
+
+    # lease held -> stream epoch check and second compactor fail loudly
+    open(_lease_path(t), "w").close()
+    with pytest.raises(RuntimeError, match="compaction"):
+        _check_compaction_lease(spark, t)
+    with pytest.raises(RuntimeError, match="lease"):
+        compact_stream_log(spark, t, u)
+    assert compact_stream_log(spark, t, u, break_lease=True) == (2, 2)
+    assert not os.path.exists(_lease_path(t))
+    assert resolved() == want
+
+    # per-url epochs preserved through compaction (mixed-swap safety)
+    assert {
+        (r["subj"], r["epoch"]) for r in spark.read.parquet(t).collect()
+    } == {("http://a#0", 1), ("http://b#0", 0)}
+
+    # crash window (a): rename-aside done, promote not -> final absent,
+    # ._old and fully-materialized ._compact present
+    shutil.copytree(t, t + "._compact")
+    os.rename(t, t + "._old")
+    assert resolved() == want
+    assert os.path.exists(t)
+    assert not os.path.exists(t + "._old")
+    assert not os.path.exists(t + "._compact")
+
+    # crash window (b): before any rename -> final + leftover ._compact
+    shutil.copytree(u, u + "._compact")
+    assert resolved() == want
+    assert not os.path.exists(u + "._compact")
+
+    # crash window (c): only ._old left -> rolled back
+    os.rename(u, u + "._old")
+    assert resolved() == want
+    assert os.path.exists(u)
