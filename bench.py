@@ -3,13 +3,15 @@
 Runs the headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
 on local[$SPARK_GRAFT_CPUS], then re-runs the KG-construction job at two
 parallelism levels (local[N/4] vs local[N]) on the SAME input as the sandbox
-substitution for the N→4N-executor scaling rule; prints ONE JSON line:
+substitution for the N→4N-executor scaling rule.
 
-{"metric": "suite_sec", "value": <total sec>, "unit": "sec",
- "queries": {name: sec, ...}, "sf": <sf>,
- "kg": {"pages": P, "mentions": M, "triples": T, "triples_per_sec": ...},
- "scaling": {"cores_low": c1, "sec_low": t1, "cores_high": c2, "sec_high": t2,
-             "efficiency": (t1/t2)/(c2/c1)}}
+Output contract (the driver's harness captures the stdout TAIL):
+- next-to-last line: {"detail": {...}} — the bigdim study, both
+  incremental axes, the stream cycle (also written to BENCH_DETAIL.json);
+- LAST line, compact (<4 KB): {"metric": "suite_sec", "value": sec,
+  "unit": "sec", "sf": ..., "queries": {name: sec}, "kg": {...},
+  "scaling": {..., "rounds": [...]}, "cpu_probe": {...},
+  "maintenance": {one-number headlines from each detail section}}.
 """
 
 from __future__ import annotations
@@ -122,10 +124,105 @@ def _mention_count(spark, n_pages: int) -> int:
     ).count()
 
 
+def _lineitem_triples(spark, sf_dir: str):
+    """An sf-scaled KG triple relation derived from lineitem (~600k rows
+    at sf0.1): subj = order#line (the url#ordinal shape pipeline.
+    triple_url splits), obj = part entity, score from a deterministic
+    hash. The gate's graph queries prove CORRECTNESS at fixture scale;
+    these drive the same operators at table scale so BENCH sees a
+    regression in their physical plans (r4 judge directive #6)."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    return li.select(
+        F.concat(
+            F.lit("http://bench/o"), F.col("l_orderkey").cast("string"),
+            F.lit("#"), F.col("l_linenumber").cast("string"),
+        ).alias("subj"),
+        F.lit("mappedTo").alias("pred"),
+        F.concat(F.lit("P"), F.col("l_partkey").cast("string")).alias("obj"),
+        (
+            F.pmod(
+                F.crc32(
+                    F.concat_ws(
+                        "|",
+                        F.col("l_orderkey").cast("string"),
+                        F.col("l_partkey").cast("string"),
+                        F.col("l_suppkey").cast("string"),
+                    )
+                ),
+                F.lit(1000),
+            )
+            / 1000.0
+        ).alias("score"),
+    )
+
+
+def _graph_suite_queries() -> dict:
+    """sf-scaled drivers for the round-4 graph surface (pagerank /
+    co-occurrence / release diff), timed alongside the headline suite."""
+    from pyspark.sql import functions as F
+
+    from ontology_mapper_spark.operators.graph import (
+        entity_cooccurrence,
+        kg_diff,
+        pagerank_int,
+    )
+
+    def term_pagerank(spark, sf):
+        edges = (
+            spark.read.parquet(os.path.join(sf, "lineitem.parquet"))
+            .select(
+                F.concat(F.lit("O"), F.col("l_orderkey").cast("string"))
+                .alias("src"),
+                F.concat(F.lit("P"), F.col("l_partkey").cast("string"))
+                .alias("dst"),
+            )
+        )
+        return pagerank_int(edges, iterations=6)
+
+    def entity_cooccur(spark, sf):
+        return entity_cooccurrence(
+            _lineitem_triples(spark, sf), max_entities_per_page=64
+        )
+
+    def kg_release_diff(spark, sf):
+        prev = _lineitem_triples(spark, sf)
+        okey = F.regexp_extract("subj", r"o(\d+)#", 1).cast("long")
+        # next release: ~1% rescored, ~0.5% removed, ~0.5% re-linked to a
+        # different entity (removed+added pair) — all four statuses hit
+        # the full-outer SMJ
+        new = (
+            prev.filter(F.pmod(okey, F.lit(199)) != 0)
+            .withColumn(
+                "score",
+                F.when(
+                    F.pmod(okey, F.lit(97)) == 0,
+                    F.least(F.col("score") + 0.001, F.lit(1.0)),
+                ).otherwise(F.col("score")),
+            )
+            .withColumn(
+                "obj",
+                F.when(
+                    F.pmod(okey, F.lit(211)) == 0,
+                    F.concat(F.col("obj"), F.lit("v2")),
+                ).otherwise(F.col("obj")),
+            )
+        )
+        return kg_diff(prev, new)
+
+    return {
+        "term_pagerank": term_pagerank,
+        "entity_cooccur": entity_cooccur,
+        "kg_release_diff": kg_release_diff,
+    }
+
+
 def suite(spark, sf_dir: str) -> dict[str, float]:
     import __spark_entry__ as entrymod
 
-    qs = entrymod.queries()
+    qs = dict(entrymod.queries())
+    qs.update(_graph_suite_queries())
     headline = [
         "tfidf_topk",
         "syntactic_levenshtein",
@@ -139,6 +236,9 @@ def suite(spark, sf_dir: str) -> dict[str, float]:
         "ancestor_closure",
         "topk_per_group",
         "broadcast_dim_join",
+        "term_pagerank",
+        "entity_cooccur",
+        "kg_release_diff",
     ]
     # one tiny untimed action so session-level first-use costs (JVM
     # codegen warmup, Python worker spawn, parquet footer reads) don't all
@@ -685,10 +785,20 @@ def _onto_run_impl(cores: int, n_pages: int, n_terms: int, snap: str) -> None:
     sec_inc = time.time() - t0
     match = _kg_checksum(full_df) == _kg_checksum(inc_df)
     frac = n_affected / max(n_mentions, 1)
+    # mirror the DEFAULT valve (both terms: dimension size first, then
+    # affected fraction — pipeline.incremental_kg_ontology) so the report
+    # states which physical plan a default-config deployment runs at this
+    # dimension, and what it pays relative to the best measured leg
+    n_labels = onto_labels_df(
+        filter_terms_df(v2, cfg.base_iris, cfg.excl_deprecated, cfg.term_type)
+    ).count()
+    rebuild = n_labels < 40_000 or frac > 0.5
+    sec_default = sec_full if rebuild else sec_delta
     spark.stop()
     print(json.dumps({
         "pages": n_pages,
         "onto_terms_v1": n_terms,
+        "labels_v2": n_labels,
         "mentions": n_mentions,
         "affected_mentions": n_affected,
         "affected_fraction": round(frac, 4),
@@ -696,11 +806,121 @@ def _onto_run_impl(cores: int, n_pages: int, n_terms: int, snap: str) -> None:
         "sec_delta": round(sec_delta, 3),
         "sec_incremental_materialized": round(sec_inc, 3),
         "delta_speedup": round(sec_full / sec_delta, 2),
-        "valve_default_plan": (
-            "full_rebuild" if frac > 0.5 else "incremental"
-        ),
+        "valve_default_plan": "full_rebuild" if rebuild else "incremental",
+        "default_plan_speedup": round(sec_full / sec_default, 2),
         "triples": n_full,
         "fresh_triples": n_fresh,
+        "checksum_match": match,
+    }))
+
+
+def _stream_run(cores: int, n_pages: int) -> None:
+    """Wrapper: scratch-dir hygiene as in ``_incremental_run``."""
+    import shutil
+    import tempfile
+
+    snap = tempfile.mkdtemp(prefix="bench_stream_")
+    try:
+        _stream_run_impl(cores, n_pages, snap)
+    finally:
+        shutil.rmtree(snap, ignore_errors=True)
+
+
+def _stream_run_impl(cores: int, n_pages: int, snap: str) -> None:
+    """One ``stream_incremental_kg`` cycle at bench scale, timed per
+    epoch: epoch 0 maps the full initial crawl (the streaming spelling
+    of a cold build — its throughput should track the batch kg_job);
+    epoch 1 is a ~3% recrawl delta against the persisted digest state
+    (same delta shape as ``--incremental-run``) and measures the
+    steady-state cost of a maintenance trigger: checkpoint restore +
+    digest anti-join + mapping only the changed urls + epoch-state
+    writes. The resolved log is checksum-compared against a batch
+    rebuild UNTIMED — the bench re-asserts what the gate proves. Page
+    synthesis and the frozen model are prior-cycle state, built outside
+    both clocks."""
+    from pyspark.sql import functions as F
+
+    from ontology_mapper_spark.operators.tfidf import source_idf_map
+    from ontology_mapper_spark.pipeline import build_pipeline_index
+    from ontology_mapper_spark.sources.pages import detect_mentions
+    from ontology_mapper_spark.streaming.ingest import (
+        stream_current_triples,
+        stream_incremental_kg,
+    )
+
+    spark = get_spark(f"bench-stream-{cores}", cores=cores,
+                      shuffle_partitions=max(cores * 2, 16))
+    variants = max(997, n_pages // 30)
+    r0, r1 = int(n_pages * 0.95), int(n_pages * 1.02)
+    d = {k: os.path.join(snap, k)
+         for k in ("in", "triples", "touched", "digest", "ckpt")}
+    os.makedirs(d["in"])
+    # ---- crawl drops + frozen model: DATA + prior-cycle state, untimed
+    synthesize_pages(spark, n_pages, variants=variants).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(snap, "drop1"))
+    from ontology_mapper_spark.sources.pages import extract_text
+
+    idx_col = F.regexp_extract("url", r"page(\d+)$", 1).cast("long")
+    # the mutation edits html; extract_text re-derives the text column
+    # (page_digests keys on text), matching what a WARC ingest job would
+    # persist to the page table the stream reads
+    extract_text(
+        synthesize_pages(spark, r1, variants=variants, start=r0).withColumn(
+            "html",
+            F.when(
+                (idx_col % 5 == 0) & (idx_col < n_pages),
+                F.encode(
+                    F.regexp_replace(
+                        F.decode("html", "utf-8"), r"\n</body>",
+                        "\n<p>recurrent asthma episode</p>\n</body>",
+                    ),
+                    "utf-8",
+                ),
+            ).otherwise(F.col("html")),
+        )
+    ).write.mode("overwrite").parquet(os.path.join(snap, "drop2"))
+    drop1 = spark.read.parquet(os.path.join(snap, "drop1"))
+    drop2 = spark.read.parquet(os.path.join(snap, "drop2"))
+    latest = drop1.join(
+        drop2.select("url"), "url", "left_anti"
+    ).unionByName(drop2)
+    onto = _onto_table(spark)
+    cfg = MappingConfig(min_score=0.3, max_mappings=3)
+    idf = source_idf_map(detect_mentions(latest), cfg.ngram_length)
+    index = build_pipeline_index(onto, cfg)
+
+    def epoch(src_dir: str) -> float:
+        import shutil as _sh
+
+        for f in sorted(os.listdir(src_dir)):
+            if f.endswith(".parquet"):
+                _sh.copy(os.path.join(src_dir, f), os.path.join(d["in"], f))
+        t0 = time.time()
+        stream_incremental_kg(
+            spark, d["in"], d["triples"], d["touched"], d["digest"],
+            d["ckpt"], onto, cfg, tfidf_source_idf=idf,
+        ).awaitTermination(1800)
+        return time.time() - t0
+
+    sec_full = epoch(os.path.join(snap, "drop1"))
+    sec_delta = epoch(os.path.join(snap, "drop2"))
+    resolved = stream_current_triples(spark, d["triples"], d["touched"])
+    n_triples = resolved.count()
+    batch = construct_kg(
+        latest, onto, cfg, tfidf_source_idf=idf, tfidf_index=index,
+    )
+    match = _kg_checksum(resolved) == _kg_checksum(batch)
+    spark.stop()
+    print(json.dumps({
+        "pages": n_pages,
+        "recrawled": n_pages - r0,
+        "new_urls": r1 - n_pages,
+        "sec_epoch_full": round(sec_full, 3),
+        "sec_epoch_delta": round(sec_delta, 3),
+        "epoch_pages_per_sec": round(n_pages / sec_full, 1),
+        "delta_speedup": round(sec_full / sec_delta, 2),
+        "triples": n_triples,
         "checksum_match": match,
     }))
 
@@ -731,16 +951,22 @@ def main() -> None:
     # fluctuates ~3x). An external ~K-core load hits the high-parallelism
     # run disproportionately (the low run has spare physical headroom), so
     # mixing measurements from different load windows skews the ratio.
-    # Method: measure (high, low) back-to-back per ROUND — one consistent
-    # window — and report the MEDIAN-efficiency round. (An earlier scheme
-    # picked the round with the highest embedded 1-proc burn, but observed
-    # burns differ by ~0.1% between rounds whose efficiencies span
-    # 0.77-0.92 — the probe cannot discriminate windows that finely, so
-    # the median is the noise-robust choice.) Throughput is reported from
-    # the fastest high-parallelism run across rounds — the work is
-    # identical, so min wall is the standard best-of-N capacity estimate.
-    # All rounds ship in the JSON.
-    repeats = int(os.environ.get("BENCH_REPEATS", "3"))
+    # Method (hardened after r4's driver window produced rounds of
+    # 1.201/0.739/0.685 — a super-linear 2->8 efficiency is contention by
+    # definition, and its window poisons the median): measure (high, low)
+    # back-to-back per ROUND — one consistent window — run FIVE rounds,
+    # then REJECT rounds the embedded burn or the physics flags as
+    # contended: a round is kept only if (a) its efficiency is <= 1.05
+    # (anything higher is unphysical for 2->8 cores on one box) and
+    # (b) its slowest embedded 1-proc burn is within 20% of the quietest
+    # round's (burn = busy-loop iterations/sec inside each measurement
+    # subprocess — fewer iterations = noisier neighbors in that window).
+    # Report the median efficiency over KEPT rounds; all rounds ship in
+    # the JSON with their kept/rejected flag so the rejection is
+    # auditable, not silent. Throughput is reported from the fastest
+    # high-parallelism run across rounds — the work is identical, so min
+    # wall is the standard best-of-N capacity estimate.
+    repeats = int(os.environ.get("BENCH_REPEATS", "5"))
     rounds: list[dict] = []
     # CPU-affinity pinning (taskset): an UNPINNED local[2] JVM is not a
     # 2-core machine — GC, netty/shuffle IO, Arrow serialization helpers
@@ -788,13 +1014,27 @@ def main() -> None:
                 "_high": r["high"],
             }
         )
-    med = sorted(rounds, key=lambda x: x["efficiency"])[len(rounds) // 2]
+    quietest = max(min(rd["burn_high"], rd["burn_low"]) for rd in rounds)
+    for rd in rounds:
+        rd["kept"] = (
+            rd["efficiency"] <= 1.05
+            and min(rd["burn_high"], rd["burn_low"]) >= 0.8 * quietest
+        )
+    kept = [rd for rd in rounds if rd["kept"]]
+    if not kept:  # unreachable (the quietest round passes (b); (a) can
+        # only exclude it under contention so extreme every round is
+        # super-linear) — degrade loudly rather than crash
+        kept = rounds
+    med = sorted(kept, key=lambda x: x["efficiency"])[len(kept) // 2]
     scaling = {
         "cores_low": cores_low,
         "cores_high": cores_high,
         "sec_low": med["sec_low"],
         "sec_high": med["sec_high"],
         "efficiency": med["efficiency"],
+        "rounds_kept": len(kept),
+        "protocol": "median over rounds with efficiency<=1.05 and "
+                    "min(burns)>=0.8*quietest",
         "rounds": [
             {k: v for k, v in rd.items() if not k.startswith("_")}
             for rd in rounds
@@ -880,10 +1120,106 @@ def main() -> None:
             "error": f"onto subprocess rc={out.returncode}",
             "stderr_tail": out.stderr[-2000:],
         }
+    # second dimension leg (200k terms, smaller corpus): the valve's
+    # crossover sits between these two legs, so recording BOTH per round
+    # proves the default dispatch wins in each regime (r4 directive #3's
+    # done-criterion) from the driver's own artifact
+    if os.environ.get("BENCH_ONTO_BIG", "1") != "0":
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--onto-run",
+             str(min(8, CPUS)),
+             os.environ.get("BENCH_ONTO_PAGES_BIG", "480000"),
+             os.environ.get("BENCH_ONTO_TERMS_BIG", "200000")],
+            capture_output=True, text=True,
+        )
+        try:
+            results["incremental_onto_bigdim"] = json.loads(
+                out.stdout.strip().splitlines()[-1]
+            )
+        except (json.JSONDecodeError, IndexError):
+            results["incremental_onto_bigdim"] = {
+                "error": f"onto bigdim subprocess rc={out.returncode}",
+                "stderr_tail": out.stderr[-2000:],
+            }
+    # ---- one streaming maintenance cycle (epoch timings + stream==batch
+    # checksum) — the r4 surface the suite never timed
+    stream_pages = int(
+        os.environ.get("BENCH_STREAM_PAGES", str(max(4000, N_PAGES // 4)))
+    )
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--stream-run",
+         str(min(8, CPUS)), str(stream_pages)],
+        capture_output=True, text=True,
+    )
+    try:
+        results["stream"] = json.loads(out.stdout.strip().splitlines()[-1])
+    except (json.JSONDecodeError, IndexError):
+        results["stream"] = {
+            "error": f"stream subprocess rc={out.returncode}",
+            "stderr_tail": out.stderr[-2000:],
+        }
 
     results["metric"] = "suite_sec"
     results["value"] = round(sum(times.values()), 3)
-    print(json.dumps(results))
+
+    # ---- output contract: the driver's harness captures the TAIL of
+    # stdout, and r4's single fat line outgrew it (BENCH_r04.json
+    # parsed:null, cpu_probe lost in the clipped prefix). Ship the bulky
+    # sections (bigdim study, both incremental axes, the stream cycle)
+    # as an EARLIER detail line + a BENCH_DETAIL.json file, and print a
+    # compact summary — suite, per-query, kg, scaling, cpu_probe, plus
+    # one-number headlines from each detail section — as the LAST line,
+    # kept well under 4 KB so the tail capture always parses it.
+    detail = {
+        k: results.pop(k)
+        for k in ("bigdim_1m", "incremental", "incremental_onto",
+                  "incremental_onto_bigdim", "stream")
+        if k in results
+    }
+
+    def _headline(section: dict, *keys):
+        return {k: section[k] for k in keys if k in section} or {
+            "error": section.get("error", "missing")
+        }
+
+    results["maintenance"] = {
+        "incremental": _headline(
+            detail.get("incremental", {}),
+            "delta_speedup", "checksum_match"),
+        "incremental_onto": _headline(
+            detail.get("incremental_onto", {}),
+            "delta_speedup", "checksum_match", "valve_default_plan",
+            "default_plan_speedup"),
+        "incremental_onto_bigdim": _headline(
+            detail.get("incremental_onto_bigdim", {}),
+            "delta_speedup", "checksum_match", "valve_default_plan",
+            "default_plan_speedup"),
+        "stream": _headline(
+            detail.get("stream", {}),
+            "sec_epoch_full", "sec_epoch_delta", "delta_speedup",
+            "checksum_match"),
+        "bigdim": _headline(
+            detail.get("bigdim_1m", {}),
+            "labels", "kernel_mentions_per_sec",
+            "valve_precision_vs_exact", "valve_recall_vs_exact"),
+        "detail_file": "BENCH_DETAIL.json",
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    try:
+        with open(detail_path, "w") as fh:
+            json.dump(detail, fh, indent=1)
+    except OSError:
+        pass  # read-only checkout: the detail line below still carries it
+    print(json.dumps({"detail": detail}))
+    summary = json.dumps(results)
+    if len(summary) > 3800:  # keep the contract loud: drop the largest
+        # optional block rather than risk the tail clip coming back
+        results["cpu_probe"] = results.get("cpu_probe", {})
+        results["maintenance"] = {"detail_file": "BENCH_DETAIL.json"}
+        summary = json.dumps(results)
+    print(summary)
 
 
 if __name__ == "__main__":
@@ -893,6 +1229,8 @@ if __name__ == "__main__":
         _bigdim_run(int(sys.argv[2]), int(sys.argv[3]))
     elif len(sys.argv) > 1 and sys.argv[1] == "--incremental-run":
         _incremental_run(int(sys.argv[2]), int(sys.argv[3]))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--stream-run":
+        _stream_run(int(sys.argv[2]), int(sys.argv[3]))
     elif len(sys.argv) > 1 and sys.argv[1] == "--onto-run":
         _onto_run(int(sys.argv[2]), int(sys.argv[3]),
                   *([int(sys.argv[4])] if len(sys.argv) > 4 else []))

@@ -36,7 +36,7 @@ ONTOLOGY_IRIS = {
 }
 
 
-_OBO_RE = r"^http://purl\.obolibrary\.org/obo/([A-Za-z][A-Za-z0-9]*)_([A-Za-z0-9.]+)$"
+_OBO_RE = r"^https?://purl\.obolibrary\.org/obo/([A-Za-z][A-Za-z0-9]*)_([A-Za-z0-9.]+)$"
 _IDORG_RE = r"^https?://identifiers\.org/([A-Za-z][A-Za-z0-9._]*)[:/]([A-Za-z0-9._-]+)$"
 _LOCAL_ID_RE = r"^[A-Za-z0-9._-]+$"
 

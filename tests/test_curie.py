@@ -125,6 +125,31 @@ def test_curie_registry_snapshot_breadth(spark):
          "NCBITAXON:9606"),
         ("https://www.orpha.net/ORDO/Orphanet_586", "ORPHANET:586"),
         ("https://snomed.info/id/44054006", "SNOMEDCT:44054006"),
+        # round-5 refresh: xref namespaces of the reference's own
+        # test-suite ontologies (CL/EFO/FOODON/GO/HPO/MONDO/NCIT/UBERON)
+        ("https://purl.obolibrary.org/obo/GO_0008150", "GO:0008150"),
+        ("http://purl.org/sig/ont/fma/fma62955", "FMA:62955"),
+        ("http://www.informatics.jax.org/marker/MGI:1341830", "MGI:1341830"),
+        ("https://zfin.org/ZDB-GENE-980526-333", "ZFIN:ZDB-GENE-980526-333"),
+        ("http://flybase.org/reports/FBgn0000490", "FLYBASE:FBGN0000490"),
+        ("https://go.drugbank.com/drugs/DB00331", "DRUGBANK:DB00331"),
+        ("https://www.kegg.jp/entry/hsa05310", "KEGG:HSA05310"),
+        ("https://www.rhea-db.org/rhea/16505", "RHEA:16505"),
+        ("https://enzyme.expasy.org/EC/2.7.11.1", "EC:2.7.11.1"),
+        ("http://aims.fao.org/aos/agrovoc/c_12332", "AGROVOC:C_12332"),
+        ("https://www.ncbi.nlm.nih.gov/medgen/41795", "MEDGEN:41795"),
+        ("https://pubchem.ncbi.nlm.nih.gov/compound/2244",
+         "PUBCHEM.COMPOUND:2244"),
+        ("http://www.ncbi.nlm.nih.gov/gene/7157", "NCBIGENE:7157"),
+        ("http://www.uniprot.org/uniprot/P04637", "UNIPROT:P04637"),
+        ("https://commonchemistry.cas.org/detail?cas_rn=50-78-2",
+         "CAS:50-78-2"),
+        # documented-unmappable conventions: local part violates the
+        # bare-token rule (DOI has '/', genenames embeds ':'), so they
+        # resolve to "" exactly like the reference's failure path
+        ("https://doi.org/10.1000/xyz123", ""),
+        ("http://www.genenames.org/cgi-bin/gene_symbol_report?hgnc_id=HGNC:5",
+         ""),
         # still unresolvable -> "" like the reference failure path
         ("http://example.org/not-a-registry/XYZ_1", ""),
     ]
