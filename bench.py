@@ -788,12 +788,16 @@ def _onto_run_impl(cores: int, n_pages: int, n_terms: int, snap: str) -> None:
     # mirror the DEFAULT valve (both terms: dimension size first, then
     # affected fraction — pipeline.incremental_kg_ontology) so the report
     # states which physical plan a default-config deployment runs at this
-    # dimension, and what it pays relative to the best measured leg
+    # dimension, and what it pays relative to the best measured leg.
+    # The incremental leg's default-deployment cost is sec_inc (the
+    # MERGED relation incremental_kg_ontology actually returns — kept
+    # anti-join + union), not sec_delta (the CDC components alone):
+    # using sec_delta mis-stated what a default call pays.
     n_labels = onto_labels_df(
         filter_terms_df(v2, cfg.base_iris, cfg.excl_deprecated, cfg.term_type)
     ).count()
     rebuild = n_labels < 40_000 or frac > 0.5
-    sec_default = sec_full if rebuild else sec_delta
+    sec_default = sec_full if rebuild else sec_inc
     spark.stop()
     print(json.dumps({
         "pages": n_pages,

@@ -124,6 +124,7 @@ def map_terms_df(
     tfidf_source_idf: tuple[dict, int] | None = None,
     tags_absent: bool = False,
     tfidf_index=None,
+    tfidf_target_idf: tuple[dict[str, float], int] | None = None,
 ) -> DataFrame:
     """mentions(source_term_id, source_term, tags) x onto_terms -> mappings
     (source_term_id, source_term, mapped_term_label, mapped_term_curie,
@@ -133,6 +134,15 @@ def map_terms_df(
     ``operators.tfidf.source_idf_map``) for slice-wise execution — used by
     ``CheckpointedRun`` prepare_fn so per-bucket runs score against the
     global corpus statistics.
+
+    ``tfidf_target_idf``: frozen label-side gram model
+    (``operators.tfidf.target_idf_map``) — the ontology-release
+    maintenance contract. On the inverted plan it threads straight
+    through (that plan has no index artifact); on the kernel plan it is
+    folded into the index build when no ``tfidf_index`` was supplied
+    (a supplied index wins — by contract it was built with the same
+    frozen model, as ``build_pipeline_index(..., target_idf=...)``
+    does).
 
     ``tags_absent``: caller guarantees the tags column is all-null by
     construction (e.g. ``detect_mentions`` emits a null literal). The
@@ -185,6 +195,7 @@ def map_terms_df(
         use_inverted = cfg.use_inverted_index or (
             tfidf_index is None
             and tfidf_source_idf is None
+            and tfidf_target_idf is None
             and cfg.inverted_index_min_labels is not None
             and labels.limit(cfg.inverted_index_min_labels).count()
             >= cfg.inverted_index_min_labels
@@ -206,9 +217,23 @@ def map_terms_df(
             # triples to score on one model, and config directs >4M-label
             # ontologies to this plan (r4 ADVICE high)
             candidates = tfidf_map_inverted_index(
-                to_map, labels, cfg, source_idf=tfidf_source_idf
+                to_map, labels, cfg,
+                source_idf=tfidf_source_idf,
+                target_idf=tfidf_target_idf,
             )
         else:
+            if tfidf_index is None and tfidf_target_idf is not None:
+                # frozen label-side model without a prebuilt artifact:
+                # fold it into the kernel index here (the caller is an
+                # ontology-release maintenance path that must score every
+                # snapshot version against one pinned model)
+                from ontology_mapper_spark.operators.tfidf import (
+                    build_target_index,
+                )
+
+                tfidf_index = build_target_index(
+                    labels, cfg.ngram_length, target_idf=tfidf_target_idf
+                )
             candidates = tfidf_map_broadcast(
                 to_map, labels, cfg,
                 source_idf=tfidf_source_idf,
@@ -305,6 +330,7 @@ def construct_kg(
     dedup_pages: bool = False,
     tfidf_source_idf: tuple[dict, int] | None = None,
     tfidf_index=None,
+    tfidf_target_idf: tuple[dict[str, float], int] | None = None,
 ) -> DataFrame:
     """Full KG-construction flow (north_star): pages → (optional re-)extract
     → mention detection → entity linking → mapping triples. Hierarchy edges
@@ -346,6 +372,7 @@ def construct_kg(
         # attachment join would be pure shuffle waste here
         tags_absent=True,
         tfidf_index=tfidf_index,
+        tfidf_target_idf=tfidf_target_idf,
     )
     return mappings_to_triples(mappings)
 
@@ -356,6 +383,7 @@ def construct_kg_from_mentions(
     cfg: MappingConfig | None = None,
     tfidf_source_idf: tuple[dict, int] | None = None,
     tfidf_index=None,
+    tfidf_target_idf: tuple[dict[str, float], int] | None = None,
 ) -> DataFrame:
     """KG mapping triples from an already-materialized MENTION table —
     the ``detect_mentions`` output persisted in the lakehouse. Mentions
@@ -380,6 +408,7 @@ def construct_kg_from_mentions(
         tfidf_source_idf=tfidf_source_idf,
         tags_absent=True,
         tfidf_index=tfidf_index,
+        tfidf_target_idf=tfidf_target_idf,
     )
     return mappings_to_triples(mapped)
 
@@ -718,27 +747,45 @@ def _onto_release_rebuild(
         # (slice-dependent prefilter candidates); the valve must
         # produce the identical relation
         cfg = dataclasses.replace(cfg, candidate_prefilter=False)
-    idx = (
-        (
-            tfidf_new_index
-            if tfidf_new_index is not None
-            else build_pipeline_index(
-                new_onto_terms, cfg, target_idf=tfidf_target_idf
+    if cfg.mapper == Mapper.TFIDF and cfg.use_inverted_index:
+        # the inverted plan has no index artifact: the frozen label-side
+        # model threads through map_terms_df instead (a kernel CSR index
+        # here would hit map_terms_df's loud incompatibility guard — and
+        # at the >4M-label dimensions this plan exists for, building one
+        # is exactly the memory blowup the plan avoids)
+        if tfidf_new_index is not None:
+            raise ValueError(
+                "incremental_kg_ontology: tfidf_new_index (broadcast-"
+                "kernel CSR) cannot be honored with use_inverted_index="
+                "True — drop the index, or unset use_inverted_index"
             )
+        idx = None
+        frozen_target = tfidf_target_idf
+    else:
+        idx = (
+            (
+                tfidf_new_index
+                if tfidf_new_index is not None
+                else build_pipeline_index(
+                    new_onto_terms, cfg, target_idf=tfidf_target_idf
+                )
+            )
+            if cfg.mapper == Mapper.TFIDF
+            else None
         )
-        if cfg.mapper == Mapper.TFIDF
-        else None
-    )
+        frozen_target = None  # already folded into the kernel index
     if mentions_table is not None:
         return construct_kg_from_mentions(
             mentions_table, new_onto_terms, cfg,
             tfidf_source_idf=tfidf_source_idf, tfidf_index=idx,
+            tfidf_target_idf=frozen_target,
         )
     return construct_kg(
         pages, new_onto_terms, cfg,
         langs=langs, reextract=reextract,
         tfidf_source_idf=tfidf_source_idf,
         tfidf_index=idx,
+        tfidf_target_idf=frozen_target,
     )
 
 
@@ -1050,7 +1097,28 @@ def incremental_kg_ontology_delta(
 
     # --- re-map ONLY affected mentions against the full new ontology
     to_remap = mentions.join(affected, "source_term_id", "left_semi")
-    if is_tfidf:
+    if is_tfidf and cfg.use_inverted_index:
+        # the >4M-label regime: no kernel CSR index exists for this plan
+        # (building one is the memory blowup the plan avoids; a supplied
+        # one hits map_terms_df's loud guard) — the frozen label model
+        # threads through directly. The addition PROBE above still runs
+        # the kernel: its index spans only the ADDED labels, delta-sized
+        # by construction, and the two plans are output-identical by the
+        # gate-pinned contract, so the affected set is plan-independent.
+        if tfidf_new_index is not None:
+            raise ValueError(
+                "incremental_kg_ontology_delta: tfidf_new_index "
+                "(broadcast-kernel CSR) cannot be honored with "
+                "use_inverted_index=True — drop the index, or unset "
+                "use_inverted_index"
+            )
+        mapped = map_terms_df(
+            to_remap, new_onto_terms, cfg,
+            tfidf_source_idf=tfidf_source_idf,
+            tfidf_target_idf=tfidf_target_idf,
+            tags_absent=True,
+        )
+    elif is_tfidf:
         full_idx = (
             tfidf_new_index
             if tfidf_new_index is not None

@@ -205,9 +205,15 @@ def stream_incremental_kg(
     readers of the base dir recover ``epoch`` via partition discovery).
     A micro-batch that fails after its writes but before the checkpoint
     commit is re-run by Spark with the SAME ``epoch_id``; the replay
-    overwrites its own directories instead of appending duplicates, so
-    the foreachBatch sink is idempotent end-to-end, not just for the
-    digest snapshot.
+    overwrites its own directories instead of appending duplicates, AND
+    it reads the digest state bounded to epochs < its own epoch_id
+    (:func:`latest_digests`) — without the bound a replay would see the
+    failed attempt's own digest snapshot, compute an empty delta, and
+    overwrite the epoch's real rows with nothing. Together the two make
+    the foreachBatch sink idempotent end-to-end. The epoch writes also
+    run under the compaction lease, so a compactor can never snapshot
+    the log mid-write and swap the epoch away after its checkpoint
+    commits.
 
     Read the current KG back with :func:`stream_current_triples`;
     equality with a batch rebuild over the latest corpus is pinned by
@@ -238,29 +244,6 @@ def stream_incremental_kg(
     )
     empty_digests = spark.createDataFrame([], "url string, digest string")
 
-    def _latest_state() -> DataFrame:
-        # Hadoop FileSystem API, not os.listdir: the digest snapshot lives
-        # wherever the cluster's state does (hdfs://, s3a://, file:) —
-        # same discipline as checkpoints.CheckpointedRun._list_bucket_ids
-        jvm = spark._jvm
-        hpath = jvm.org.apache.hadoop.fs.Path(digest_dir)
-        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-        if not fs.exists(hpath):
-            return empty_digests
-        epochs = []
-        for status in fs.listStatus(hpath):
-            name = status.getPath().getName()
-            if status.isDirectory() and name.startswith("epoch="):
-                try:
-                    epochs.append(int(name.split("=", 1)[1]))
-                except ValueError:
-                    pass
-        if not epochs:
-            return empty_digests
-        return spark.read.parquet(
-            digest_dir.rstrip("/") + f"/epoch={max(epochs)}"
-        ).select("url", "digest")
-
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
@@ -273,15 +256,49 @@ def stream_incremental_kg(
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-        prev = _latest_state()
+        # before_epoch bound — the replay-idempotence keystone: a batch
+        # that failed AFTER write_epoch_state but BEFORE the checkpoint
+        # commit is re-run with the same epoch_id, and an unbounded
+        # max-epoch read would hand the replay its OWN digest snapshot —
+        # every url would match, the delta would be empty, and the
+        # epoch-scoped overwrite would erase the epoch's real triples
+        # (resurrecting whatever the previous epochs held for those
+        # urls). Excluding epochs >= epoch_id makes the replay read the
+        # exact prev the original attempt read, so it recomputes the
+        # identical output and the overwrite is a true no-op.
+        prev = latest_digests(
+            spark, digest_dir, before_epoch=int(epoch_id),
+            empty=empty_digests,
+        )
         fresh, drop = incremental_kg_delta(
             batch, prev, onto_terms, cfg,
             tfidf_source_idf=tfidf_source_idf, tfidf_index=tfidf_index,
         )
-        write_epoch_state(
-            fresh, drop.select("url"), merge_digests(prev, batch),
-            triples_dir, touched_dir, digest_dir, int(epoch_id),
-        )
+        # the epoch writes run under the SAME lease compaction takes:
+        # the start-of-batch check above only closes the window up to
+        # the (long) delta compute, and a compactor acquiring the lease
+        # mid-batch would snapshot the log WITHOUT this epoch, then swap
+        # the snapshot in after the checkpoint commits — silently
+        # dropping the epoch. Holding the lease across the writes (the
+        # writes are what trigger the compute) makes writer and
+        # compactor mutually exclusive; whichever loses the atomic
+        # create fails loudly, and a failed batch is replayed.
+        fs, lease = _fs_and_path(spark, _lease_path(triples_dir))
+        if not fs.createNewFile(lease):
+            raise RuntimeError(
+                f"stream epoch {int(epoch_id)}: could not take the write "
+                f"lease {_lease_path(triples_dir)} — a compaction started "
+                "mid-batch (or a crashed writer left a stale lease: "
+                "delete it / run compact_stream_log(break_lease=True)). "
+                "The batch fails uncommitted and will be replayed."
+            )
+        try:
+            write_epoch_state(
+                fresh, drop.select("url"), merge_digests(prev, batch),
+                triples_dir, touched_dir, digest_dir, int(epoch_id),
+            )
+        finally:
+            fs.delete(lease, False)
 
     writer = (
         read_pages_stream(spark, input_dir)
@@ -297,6 +314,43 @@ def _fs_and_path(spark: SparkSession, path: str):
     """Hadoop FileSystem handle + Path for any scheme (hdfs/s3a/file)."""
     hpath = spark._jvm.org.apache.hadoop.fs.Path(path)
     return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath
+
+
+def latest_digests(
+    spark: SparkSession,
+    digest_dir: str,
+    before_epoch: int | None = None,
+    empty: DataFrame | None = None,
+) -> DataFrame:
+    """The newest ``(url, digest)`` snapshot under ``digest_dir``,
+    restricted to epochs strictly below ``before_epoch``. The bound is
+    what makes a checkpoint REPLAY idempotent: a re-run batch must read
+    the same prev state the original attempt read, not its own
+    just-written snapshot (see ``stream_incremental_kg``). Hadoop
+    FileSystem API, not os.listdir: the state lives wherever the
+    cluster's does (hdfs://, s3a://, file:) — same discipline as
+    ``checkpoints.CheckpointedRun._list_bucket_ids``. Module-level so
+    the replay contract is directly testable."""
+    if empty is None:
+        empty = spark.createDataFrame([], "url string, digest string")
+    fs, hpath = _fs_and_path(spark, digest_dir)
+    if not fs.exists(hpath):
+        return empty
+    epochs = []
+    for status in fs.listStatus(hpath):
+        name = status.getPath().getName()
+        if status.isDirectory() and name.startswith("epoch="):
+            try:
+                e = int(name.split("=", 1)[1])
+            except ValueError:
+                continue
+            if before_epoch is None or e < before_epoch:
+                epochs.append(e)
+    if not epochs:
+        return empty
+    return spark.read.parquet(
+        digest_dir.rstrip("/") + f"/epoch={max(epochs)}"
+    ).select("url", "digest")
 
 
 def write_epoch_state(
@@ -344,16 +398,30 @@ def _check_compaction_lease(spark: SparkSession, triples_dir: str) -> None:
 
 def _recover_log_dir(spark: SparkSession, final: str) -> None:
     """Finish or roll back an interrupted compaction swap for one log
-    dir. States a crash can leave (``t`` = ``<dir>._compact``, ``o`` =
-    ``<dir>._old``):
+    dir. MUST be called holding the compaction lease (see the callers):
+    recovery renames and deletes, and doing that against a LIVE
+    compactor's in-flight ``._compact`` (or a writer's epoch dirs) is
+    exactly the corruption it exists to repair. States a crash can
+    leave (``t`` = ``<dir>._compact``, ``o`` = ``<dir>._old``):
 
-    - final present, leftovers present — swap finished (or never
-      started): drop leftovers, final is authoritative.
-    - final absent, t present — crash between rename-aside and
-      promote; t was fully materialized before any rename began, so
-      promote it.
-    - final absent, only o present — crash right after rename-aside
-      with no temp (shouldn't happen, but restorable): roll back.
+    - o and t both present — the promote never completed (a completed
+      promote leaves no ``t`` behind). If ``final`` ALSO exists, it was
+      recreated by an epoch writer after the failed promote and holds
+      only NEWER ``epoch=N`` children: graft them into ``t`` (on a name
+      collision the writer's version wins — a replayed epoch recomputes
+      the identical logical rows), then promote ``t`` and drop ``o``.
+      Without this merge, treating a recreated ``final`` as
+      authoritative would delete ``o`` — the entire pre-compaction
+      history (the r5 review's data-loss finding).
+    - final absent, only t — crash between rename-aside and promote
+      with ``o`` already gone (not reachable from the swap order, but
+      restorable): promote t.
+    - final absent, only o — crash right after rename-aside with no
+      temp: roll back.
+    - final present, t XOR o — t alone is a stale derived copy from a
+      compactor that died before any rename (recomputable: drop);
+      o alone means the promote completed (drop the superseded
+      history).
 
     Because compaction preserves per-url epochs (see
     :func:`compact_stream_log`), EVERY reachable state — including one
@@ -363,19 +431,133 @@ def _recover_log_dir(spark: SparkSession, final: str) -> None:
     fs, fpath = _fs_and_path(spark, final)
     _, tpath = _fs_and_path(spark, final.rstrip("/") + "._compact")
     _, opath = _fs_and_path(spark, final.rstrip("/") + "._old")
+    t_exists, o_exists = fs.exists(tpath), fs.exists(opath)
+    if t_exists and o_exists:
+        if fs.exists(fpath):
+            # graft writer-recreated epoch dirs into the compacted copy
+            for status in fs.listStatus(fpath):
+                name = status.getPath().getName()
+                if not (status.isDirectory() and name.startswith("epoch=")):
+                    continue
+                dst = spark._jvm.org.apache.hadoop.fs.Path(tpath, name)
+                if fs.exists(dst):
+                    fs.delete(dst, True)
+                if not fs.rename(status.getPath(), dst):
+                    raise IOError(
+                        f"recover: graft {name} -> {tpath} failed"
+                    )
+            fs.delete(fpath, True)
+        if not fs.rename(tpath, fpath):
+            raise IOError(f"recover: promote {tpath} -> {final} failed")
+        fs.delete(opath, True)
+        return
     if fs.exists(fpath):
         for p in (tpath, opath):
             if fs.exists(p):
                 fs.delete(p, True)
         return
-    if fs.exists(tpath):
+    if t_exists:
         if not fs.rename(tpath, fpath):
             raise IOError(f"recover: rename {tpath} -> {final} failed")
-        if fs.exists(opath):
-            fs.delete(opath, True)
-    elif fs.exists(opath):
+    elif o_exists:
         if not fs.rename(opath, fpath):
             raise IOError(f"recover: rename {opath} -> {final} failed")
+
+
+def _needs_recovery(spark: SparkSession, final: str) -> bool:
+    """A log dir needs repair when it is missing, or when BOTH swap
+    leftovers exist (promote never completed — ``final``, if present,
+    was recreated by a writer and holds only post-crash epochs)."""
+    fs, fpath = _fs_and_path(spark, final)
+    _, tpath = _fs_and_path(spark, final.rstrip("/") + "._compact")
+    _, opath = _fs_and_path(spark, final.rstrip("/") + "._old")
+    if not fs.exists(fpath):
+        # absent is only a crash state once SOME state exists: leftovers
+        # present means an interrupted swap; nothing at all just means
+        # the stream has not written its first epoch yet
+        return fs.exists(tpath) or fs.exists(opath)
+    return fs.exists(tpath) and fs.exists(opath)
+
+
+def _recover_under_lease(
+    spark: SparkSession, triples_dir: str, touched_dir: str
+) -> None:
+    """Take the compaction lease, repair both log dirs, release. Raises
+    (touching nothing) if the lease is held — a live compactor owns the
+    swap state; a stale lease needs the operator's explicit
+    ``compact_stream_log(break_lease=True)``."""
+    fs, lease = _fs_and_path(spark, _lease_path(triples_dir))
+    if not fs.createNewFile(lease):
+        raise RuntimeError(
+            f"stream log recovery: lease {_lease_path(triples_dir)} is "
+            "held — a compaction is running (or crashed; run "
+            "compact_stream_log(break_lease=True) to reclaim)"
+        )
+    try:
+        for d in (triples_dir, touched_dir):
+            _recover_log_dir(spark, d)
+    finally:
+        fs.delete(lease, False)
+
+
+def _has_legacy_layout(spark: SparkSession, log_dir: str) -> bool:
+    """True when ``log_dir`` holds pre-epoch-layout state: part FILES at
+    the dir root (the old append-mode sink, ``epoch`` as a data column)
+    instead of ``epoch=N`` subdirectories."""
+    fs, hpath = _fs_and_path(spark, log_dir)
+    if not fs.exists(hpath):
+        return False
+    for status in fs.listStatus(hpath):
+        name = status.getPath().getName()
+        if status.isFile() and name.endswith(".parquet"):
+            return True
+    return False
+
+
+def migrate_stream_log_layout(spark: SparkSession, log_dir: str) -> int:
+    """One-time migration of a pre-epoch-layout stream log (root-level
+    part files carrying an ``epoch`` data column, the append-mode format
+    the sink wrote before the replay-safe rework) to the current
+    ``epoch=N`` Hive layout. Run it on BOTH the triples and the touched
+    log, with the stream stopped. Uses the same
+    materialize-to-``._compact``-then-rename-aside swap as
+    :func:`compact_stream_log` (crash-safe: any interruption is
+    repaired by the standard recovery pass — under the lease, which
+    this function takes on ``log_dir`` itself). Returns the number of
+    rows migrated; 0 when the dir is absent or already migrated."""
+    if not _has_legacy_layout(spark, log_dir):
+        return 0
+    fs, lease = _fs_and_path(spark, log_dir.rstrip("/") + "._compacting")
+    if not fs.createNewFile(lease):
+        raise RuntimeError(
+            f"migrate_stream_log_layout: lease on {log_dir} is held"
+        )
+    try:
+        df = spark.read.parquet(log_dir)  # epoch is a DATA column here
+        tmp = log_dir.rstrip("/") + "._compact"
+        df.write.mode("overwrite").partitionBy("epoch").parquet(tmp)
+        n = spark.read.parquet(tmp).count()
+        _swap_log_dir(spark, log_dir, tmp)
+        return n
+    finally:
+        fs.delete(lease, False)
+
+
+def _swap_log_dir(spark: SparkSession, final: str, tmp: str) -> None:
+    """Rename-aside swap: ``final -> final._old``, ``tmp -> final``,
+    drop ``._old``. Caller holds the lease; a crash at any point is
+    repaired by :func:`_recover_log_dir`."""
+    ffs, fpath = _fs_and_path(spark, final)
+    _, tp = _fs_and_path(spark, tmp)
+    _, op = _fs_and_path(spark, final.rstrip("/") + "._old")
+    if not ffs.rename(fpath, op):
+        raise IOError(f"swap: rename-aside {final} failed")
+    if not ffs.rename(tp, fpath):
+        raise IOError(
+            f"swap: promote {tmp} -> {final} failed; recovery will "
+            "finish the swap on next read"
+        )
+    ffs.delete(op, True)
 
 
 def stream_current_triples(
@@ -390,11 +572,26 @@ def stream_current_triples(
     ``#``. One aggregate over the skinny touched log + one join — the
     file-sink spelling of Iceberg MERGE-on-subj.
 
-    Opens with a recovery pass: an interrupted compaction swap is
-    finished (or rolled back) before reading, so a compactor crash
-    never leaves the reader pointing at a missing directory."""
+    Opens with a CONDITIONAL recovery pass: only when a log dir is
+    missing or a swap is demonstrably incomplete (``._old`` AND
+    ``._compact`` both present — reading bare ``final`` then would show
+    only post-crash epochs) does the reader take the compaction lease
+    and repair; otherwise it reads ``final`` directly and touches
+    NOTHING — stale ``._compact``/``._old`` leftovers are cleaned by
+    the next compactor, never by a reader racing a live one (the r5
+    review's reader-deletes-in-flight-compaction finding)."""
+    if any(
+        _needs_recovery(spark, d) for d in (triples_dir, touched_dir)
+    ):
+        _recover_under_lease(spark, triples_dir, touched_dir)
     for d in (triples_dir, touched_dir):
-        _recover_log_dir(spark, d)
+        if _has_legacy_layout(spark, d):
+            raise RuntimeError(
+                f"stream log {d} uses the pre-epoch append layout (root "
+                "part files with an epoch data column); run "
+                "migrate_stream_log_layout(spark, dir) on both log dirs "
+                "with the stream stopped"
+            )
     triples = spark.read.parquet(triples_dir)
     last_touch = (
         spark.read.parquet(touched_dir)
@@ -443,8 +640,11 @@ def compact_stream_log(
     is swapped via rename-aside (``final -> final._old``, ``._compact
     -> final``, drop ``._old``) on the Hadoop FileSystem API — any
     scheme (hdfs://, s3a://, file:). A crash at any point is repaired
-    by the recovery pass that opens this function and
-    :func:`stream_current_triples`.
+    by the lease-guarded recovery pass — run by the next compactor
+    (here, right after taking the lease) or by
+    :func:`stream_current_triples` when it finds a dir missing or a
+    swap demonstrably incomplete; readers never delete anything
+    otherwise.
 
     Concurrency: takes a lease file (``<triples_dir>._compacting``,
     atomic create) for the duration; a stream epoch that fires while
@@ -453,8 +653,6 @@ def compact_stream_log(
     ``break_lease=True`` reclaims a stale lease after a compactor
     crash. Returns ``(0, 0)`` without touching anything if the touched
     log is missing or empty."""
-    for d in (triples_dir, touched_dir):
-        _recover_log_dir(spark, d)
     fs, lease = _fs_and_path(spark, _lease_path(triples_dir))
     if fs.exists(lease):
         if not break_lease:
@@ -464,20 +662,31 @@ def compact_stream_log(
                 "break_lease=True to reclaim)"
             )
         fs.delete(lease, False)
-    tfs, tpath = _fs_and_path(spark, touched_dir)
-    if not tfs.exists(tpath):
-        return 0, 0
-    touched = spark.read.parquet(touched_dir)
-    if touched.isEmpty():
-        return 0, 0
     # atomic create: two compactors racing past the exists() check above
-    # still serialize here (HDFS/posix createNewFile is exclusive)
+    # still serialize here (HDFS/posix createNewFile is exclusive).
+    # Taken BEFORE the recovery pass: recovery renames/deletes swap
+    # leftovers, which must never race a live compactor or epoch writer
+    # (the r5 review's recovery-ignores-the-lease finding).
     if not fs.createNewFile(lease):
         raise RuntimeError(
             "compact_stream_log: lost the lease race to a concurrent "
             "compaction"
         )
     try:
+        for d in (triples_dir, touched_dir):
+            _recover_log_dir(spark, d)
+            if _has_legacy_layout(spark, d):
+                raise RuntimeError(
+                    f"stream log {d} uses the pre-epoch append layout; "
+                    "run migrate_stream_log_layout(spark, dir) on both "
+                    "log dirs with the stream stopped"
+                )
+        tfs, tpath = _fs_and_path(spark, touched_dir)
+        if not tfs.exists(tpath):
+            return 0, 0
+        touched = spark.read.parquet(touched_dir)
+        if touched.isEmpty():
+            return 0, 0
         last_touch = touched.groupBy("url").agg(
             F.max("epoch").alias("epoch")
         )
@@ -500,17 +709,7 @@ def compact_stream_log(
         n_live = spark.read.parquet(tmp_t).count()
         n_urls = spark.read.parquet(tmp_u).count()
         for final, tmp in ((triples_dir, tmp_t), (touched_dir, tmp_u)):
-            ffs, fpath = _fs_and_path(spark, final)
-            _, tp = _fs_and_path(spark, tmp)
-            _, op = _fs_and_path(spark, final.rstrip("/") + "._old")
-            if not ffs.rename(fpath, op):
-                raise IOError(f"compact: rename-aside {final} failed")
-            if not ffs.rename(tp, fpath):
-                raise IOError(
-                    f"compact: promote {tmp} -> {final} failed; recovery "
-                    "will finish the swap on next read"
-                )
-            ffs.delete(op, True)
+            _swap_log_dir(spark, final, tmp)
         return n_live, n_urls
     finally:
         fs.delete(lease, False)

@@ -416,3 +416,43 @@ def test_fraction_valve_honors_reextract(spark, state):
         tfidf_index=build_pipeline_index(v2, cfg, target_idf=tgt_idf),
     )
     assert _key(out) == _key(full)
+
+
+def test_inverted_plan_release_both_legs(spark, state):
+    """r5 review: with use_inverted_index=True (the documented >4M-label
+    regime) BOTH valve legs used to crash — the rebuild leg built a
+    kernel CSR index that map_terms_df's guard rejects, and the delta
+    remap passed one too. Now the frozen label model threads through the
+    inverted plan on each leg, and both stay row-identical to the kernel
+    full rebuild (the two physical plans are output-identical by the
+    gate-pinned contract)."""
+    pages, v1, v2, cfg, src_idf, tgt_idf, prev = state
+    icfg = dataclasses.replace(cfg, use_inverted_index=True)
+    kernel_full = construct_kg(
+        pages, v2, cfg,
+        tfidf_source_idf=src_idf,
+        tfidf_index=build_pipeline_index(v2, cfg, target_idf=tgt_idf),
+    )
+    # incremental leg (dimension valve off)
+    inc = incremental_kg_ontology(
+        pages, prev, v1, v2, icfg,
+        tfidf_source_idf=src_idf, tfidf_target_idf=tgt_idf,
+        rebuild_below_labels=None,
+    )
+    assert _key(inc) == _key(kernel_full)
+    # rebuild leg (dimension valve on: fixture dims are far below 40k)
+    reb = incremental_kg_ontology(
+        pages, prev, v1, v2, icfg,
+        tfidf_source_idf=src_idf, tfidf_target_idf=tgt_idf,
+    )
+    assert _key(reb) == _key(kernel_full)
+    # a kernel CSR index alongside the inverted flag still fails loudly
+    with pytest.raises(ValueError, match="use_inverted_index"):
+        incremental_kg_ontology(
+            pages, prev, v1, v2, icfg,
+            tfidf_source_idf=src_idf, tfidf_target_idf=tgt_idf,
+            tfidf_new_index=build_pipeline_index(
+                v2, cfg, target_idf=tgt_idf
+            ),
+            rebuild_below_labels=None,
+        )

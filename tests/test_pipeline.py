@@ -366,11 +366,15 @@ def test_source_idf_pins_broadcast_plan_over_fallback(spark, onto):
         dataclasses.replace(cfg, inverted_index_min_labels=0).validate()
 
 
-def test_session_cache_key_uses_application_id_not_object_id():
-    """r4 VERDICT "what's wrong" #4: CPython reuses id() after GC, so two
-    sequential sessions could inherit each other's cache slot. The key is
-    the per-SparkContext applicationId; a stopped/unreachable context
-    falls back to an id-tagged key (release paths tolerate dead entries)."""
+def test_session_cache_key_distinct_and_stable():
+    """Two hazards bound the key design (r4 VERDICT #4 + r5 review):
+    CPython reuses id() after GC (sequential sessions could inherit a
+    slot), and applicationId alone collapses SIBLING sessions sharing
+    one SparkContext (spark.newSession()) into one slot — one session
+    would unpersist the other's live cache. The key is applicationId +
+    a per-object token stamped at first use, so it is unique per
+    session object AND stays release-matchable after the context
+    stops."""
     from ontology_mapper_spark.session import session_cache_key
 
     class _Ctx:
@@ -382,14 +386,43 @@ def test_session_cache_key_uses_application_id_not_object_id():
             self.sparkContext = _Ctx(app)
 
     a, b = _Sess("local-111"), _Sess("local-222")
-    assert session_cache_key(a) == "local-111"
-    assert session_cache_key(b) == "local-222"
-    assert session_cache_key(a) != session_cache_key(b)
+    ka, kb = session_cache_key(a), session_cache_key(b)
+    assert ka.startswith("local-111:") and kb.startswith("local-222:")
+    assert ka != kb
+    # stable across calls (stamped once)
+    assert session_cache_key(a) == ka
 
+    # SIBLING sessions sharing one context get DISTINCT keys
+    ctx = _Ctx("local-333")
+    s1, s2 = _Sess("x"), _Sess("x")
+    s1.sparkContext = ctx
+    s2.sparkContext = ctx
+    assert session_cache_key(s1) != session_cache_key(s2)
+
+    # key survives the context stopping — release after stop still
+    # matches the slots the live session created
+    class _Mortal:
+        def __init__(self):
+            self.alive = True
+
+        @property
+        def sparkContext(self):
+            if not self.alive:
+                raise RuntimeError("SparkContext was shut down")
+            return _Ctx("local-444")
+
+    m = _Mortal()
+    key_live = session_cache_key(m)
+    m.alive = False
+    assert session_cache_key(m) == key_live
+
+    # never-started context: still keyed, still stable
     class _Dead:
         @property
         def sparkContext(self):
             raise RuntimeError("SparkContext was shut down")
 
     d = _Dead()
-    assert session_cache_key(d) == f"id:{id(d)}"
+    kd = session_cache_key(d)
+    assert kd.startswith("ctx:")
+    assert session_cache_key(d) == kd

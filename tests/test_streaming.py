@@ -333,12 +333,106 @@ def test_stream_log_replay_crash_recovery_and_lease(spark, tmp_path):
     assert not os.path.exists(t + "._old")
     assert not os.path.exists(t + "._compact")
 
-    # crash window (b): before any rename -> final + leftover ._compact
+    # crash window (b): before any rename -> final + leftover ._compact.
+    # READERS no longer delete anything when final is readable (a live
+    # compactor may own that ._compact); the stale copy is cleaned by
+    # the next compactor's lease-guarded recovery instead.
     shutil.copytree(u, u + "._compact")
     assert resolved() == want
-    assert not os.path.exists(u + "._compact")
+    assert os.path.exists(u + "._compact")  # reader left it alone
+    assert compact_stream_log(spark, t, u) == (2, 2)
+    assert not os.path.exists(u + "._compact")  # compactor cleaned it
 
     # crash window (c): only ._old left -> rolled back
     os.rename(u, u + "._old")
     assert resolved() == want
     assert os.path.exists(u)
+
+    # crash window (d) — the failed-promote + writer-recreated-final
+    # state (r5 review's data-loss scenario): ._old holds the real
+    # history, ._compact the compacted copy, and a post-crash epoch
+    # recreated final with ONLY its own epoch dir. Recovery must graft
+    # the new epoch into the compacted copy, not trust bare final.
+    os.rename(t, t + "._old")
+    shutil.copytree(t + "._old", t + "._compact")
+    e2 = triples([("http://b#0", "mappedTo", "W", 0.7)])
+    write_epoch_state(e2, urls(["http://b"]), dig, t, u, g, 2)
+    want2 = sorted(
+        [("http://a#0", "mappedTo", "Z", 0.9),
+         ("http://b#0", "mappedTo", "W", 0.7)]
+    )
+    assert resolved() == want2  # history AND the new epoch both survive
+    assert not os.path.exists(t + "._old")
+    assert not os.path.exists(t + "._compact")
+
+    # reader refuses to repair while a lease is held (live compactor)
+    os.rename(u, u + "._old")
+    shutil.copytree(u + "._old", u + "._compact")
+    open(_lease_path(t), "w").close()
+    with pytest.raises(RuntimeError, match="lease"):
+        resolved()
+    os.remove(_lease_path(t))
+    assert resolved() == want2  # lease gone -> repaired and readable
+
+
+def test_latest_digests_replay_bound(spark, tmp_path):
+    """The replay-idempotence keystone: a batch re-run with epoch_id=N
+    must read the digest state from epochs < N — NOT its own epoch-N
+    snapshot (which would make the replay's delta empty and its
+    epoch-scoped overwrite erase the epoch's real rows)."""
+    from ontology_mapper_spark.streaming.ingest import latest_digests
+
+    g = str(tmp_path / "digests")
+
+    def dig(rows):
+        return spark.createDataFrame(rows, "url string, digest string")
+
+    # nothing written yet -> empty at any bound
+    assert latest_digests(spark, g).count() == 0
+    dig([("a", "d0")]).write.parquet(g + "/epoch=0")
+    dig([("a", "d1")]).write.parquet(g + "/epoch=1")
+    # unbounded read: newest epoch
+    assert latest_digests(spark, g).collect()[0]["digest"] == "d1"
+    # a replay of epoch 1 sees epoch 0's state — its own snapshot is
+    # excluded
+    assert (
+        latest_digests(spark, g, before_epoch=1).collect()[0]["digest"]
+        == "d0"
+    )
+    # a replay of the FIRST epoch sees the empty pre-stream state
+    assert latest_digests(spark, g, before_epoch=0).count() == 0
+
+
+def test_stream_log_layout_migration(spark, tmp_path):
+    """Pre-epoch-layout logs (root part files, epoch as a data column)
+    are detected loudly and migrated in place to the epoch=N layout,
+    after which resolution works unchanged."""
+    from ontology_mapper_spark.streaming.ingest import (
+        migrate_stream_log_layout,
+        stream_current_triples,
+    )
+
+    t, u = str(tmp_path / "triples"), str(tmp_path / "touched")
+    spark.createDataFrame(
+        [("http://a#0", "mappedTo", "X", 1.0, 0),
+         ("http://a#0", "mappedTo", "Z", 0.9, 1),
+         ("http://b#0", "mappedTo", "Y", 0.5, 0)],
+        "subj string, pred string, obj string, score double, epoch long",
+    ).write.parquet(t)  # legacy: root part files, epoch as data column
+    spark.createDataFrame(
+        [("http://a", 0), ("http://a", 1), ("http://b", 0)],
+        "url string, epoch long",
+    ).write.parquet(u)
+
+    with pytest.raises(RuntimeError, match="migrate_stream_log_layout"):
+        stream_current_triples(spark, t, u).collect()
+    assert migrate_stream_log_layout(spark, t) == 3
+    assert migrate_stream_log_layout(spark, u) == 3
+    # second run is a no-op
+    assert migrate_stream_log_layout(spark, t) == 0
+    assert sorted(
+        map(tuple, stream_current_triples(spark, t, u).collect())
+    ) == sorted(
+        [("http://a#0", "mappedTo", "Z", 0.9),
+         ("http://b#0", "mappedTo", "Y", 0.5)]
+    )
