@@ -792,7 +792,14 @@ def _onto_run_impl(cores: int, n_pages: int, n_terms: int, snap: str) -> None:
     # The incremental leg's default-deployment cost is sec_inc (the
     # MERGED relation incremental_kg_ontology actually returns — kept
     # anti-join + union), not sec_delta (the CDC components alone):
-    # using sec_delta mis-stated what a default call pays.
+    # using sec_delta mis-stated what a default call pays. Known small
+    # understatement that remains: the measured leg runs with
+    # full_remap_fraction=None, so the fraction valve's own eager counts
+    # (affected.count over the persisted delta set, corpus mention count
+    # over the MATERIALIZED mentions_table, a dimension-sized label
+    # count) are outside the timer — all skinny counts over materialized
+    # state here, not re-derivations, so the bias is bounded by three
+    # metadata-scale scans.
     n_labels = onto_labels_df(
         filter_terms_df(v2, cfg.base_iris, cfg.excl_deprecated, cfg.term_type)
     ).count()

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import itertools
 import os
+import threading
 
 from pyspark.sql import SparkSession
 
@@ -44,6 +45,7 @@ def get_spark(
 
 
 _CACHE_KEY_COUNTER = itertools.count()
+_CACHE_KEY_LOCK = threading.Lock()
 
 
 def session_cache_key(spark: SparkSession) -> str:
@@ -63,15 +65,23 @@ def session_cache_key(spark: SparkSession) -> str:
     key = getattr(spark, "_oms_cache_key", None)
     if key is not None:
         return key
-    try:
-        app = str(spark.sparkContext.applicationId)
-    except Exception:
-        app = "ctx"
-    key = f"{app}:{next(_CACHE_KEY_COUNTER)}"
-    try:
-        spark._oms_cache_key = key
-    except Exception:
-        # unstampable wrapper: degrade to identity (per-call stable
-        # within the object's lifetime, the pre-r4 behavior)
-        key = f"id:{id(spark)}"
-    return key
+    # first-use stamping is locked: two driver threads racing here would
+    # both draw tokens and both stamp (last wins) — the loser's cache
+    # entries would then never match any later key and its persisted
+    # relations would leak for the session's life
+    with _CACHE_KEY_LOCK:
+        key = getattr(spark, "_oms_cache_key", None)
+        if key is not None:
+            return key
+        try:
+            app = str(spark.sparkContext.applicationId)
+        except Exception:
+            app = "ctx"
+        key = f"{app}:{next(_CACHE_KEY_COUNTER)}"
+        try:
+            spark._oms_cache_key = key
+        except Exception:
+            # unstampable wrapper: degrade to identity (per-call stable
+            # within the object's lifetime, the pre-r4 behavior)
+            key = f"id:{id(spark)}"
+        return key

@@ -12,6 +12,10 @@ the native stateful path.
 
 from __future__ import annotations
 
+import contextlib
+import time
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -283,22 +287,15 @@ def stream_incremental_kg(
         # writes are what trigger the compute) makes writer and
         # compactor mutually exclusive; whichever loses the atomic
         # create fails loudly, and a failed batch is replayed.
-        fs, lease = _fs_and_path(spark, _lease_path(triples_dir))
-        if not fs.createNewFile(lease):
-            raise RuntimeError(
-                f"stream epoch {int(epoch_id)}: could not take the write "
-                f"lease {_lease_path(triples_dir)} — a compaction started "
-                "mid-batch (or a crashed writer left a stale lease: "
-                "delete it / run compact_stream_log(break_lease=True)). "
-                "The batch fails uncommitted and will be replayed."
-            )
-        try:
+        with _hold_lease(
+            spark, _lease_path(triples_dir),
+            f"stream epoch {int(epoch_id)} write (the batch fails "
+            "uncommitted and will be replayed)",
+        ):
             write_epoch_state(
                 fresh, drop.select("url"), merge_digests(prev, batch),
                 triples_dir, touched_dir, digest_dir, int(epoch_id),
             )
-        finally:
-            fs.delete(lease, False)
 
     writer = (
         read_pages_stream(spark, input_dir)
@@ -388,11 +385,97 @@ def _check_compaction_lease(spark: SparkSession, triples_dir: str) -> None:
     fs, lease = _fs_and_path(spark, _lease_path(triples_dir))
     if fs.exists(lease):
         raise RuntimeError(
-            f"stream log under compaction (lease {_lease_path(triples_dir)} "
+            f"stream log under maintenance (lease {_lease_path(triples_dir)} "
             "exists): a stream epoch must not write while compact_stream_log "
-            "rewrites the log. If the lease is stale (compactor crashed), "
-            "re-run compact_stream_log(break_lease=True) or delete the "
-            "lease file."
+            "or another epoch writer holds the log. If the lease is stale "
+            "(holder crashed), re-run compact_stream_log(break_lease=True) "
+            "— ONLY with the stream stopped — or delete the lease file."
+        )
+
+
+def _acquire_lease(spark: SparkSession, lease_path: str, purpose: str) -> str:
+    """Atomically create the lease file, then write an OWNER TOKEN into
+    it. The token is what makes release safe: without one, a lease
+    broken mid-hold and re-taken by another actor would be deleted by
+    the original holder's finally — dissolving mutual exclusion exactly
+    when two actors are live (r5 second-review finding #1). Returns the
+    token; raises naming ``purpose`` when the lease is held."""
+    fs, lp = _fs_and_path(spark, lease_path)
+    if not fs.createNewFile(lp):
+        raise RuntimeError(
+            f"{purpose}: lease {lease_path} is held — an epoch writer or "
+            "compactor is running (or crashed and left it stale: run "
+            "compact_stream_log(break_lease=True) ONLY with the stream "
+            "stopped)"
+        )
+    token = uuid.uuid4().hex
+    out = fs.create(lp, True)  # we own the file; stamp it
+    try:
+        out.write(bytearray(token.encode("ascii")))
+    finally:
+        out.close()
+    return token
+
+
+def _lease_owner(spark: SparkSession, lease_path: str) -> str | None:
+    fs, lp = _fs_and_path(spark, lease_path)
+    if not fs.exists(lp):
+        return None
+    stream = fs.open(lp)
+    try:
+        return str(
+            spark._jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "US-ASCII"
+            )
+        )
+    finally:
+        stream.close()
+
+
+def _release_lease(spark: SparkSession, lease_path: str, token: str) -> None:
+    """Delete the lease ONLY if we still own it. A vanished or usurped
+    lease means an operator broke it while we were live — raise so the
+    caller's work is NOT treated as committed on top of dissolved
+    mutual exclusion (a failed stream batch replays; a failed compactor
+    leaves the log resolvable either way)."""
+    owner = _lease_owner(spark, lease_path)
+    if owner != token:
+        raise RuntimeError(
+            f"lease {lease_path} was "
+            + ("broken" if owner is None else "usurped")
+            + " while held — another maintenance actor may have seen "
+            "torn state; this operation fails so it is not committed "
+            "on top of dissolved mutual exclusion"
+        )
+    fs, lp = _fs_and_path(spark, lease_path)
+    fs.delete(lp, False)
+
+
+@contextlib.contextmanager
+def _hold_lease(spark: SparkSession, lease_path: str, purpose: str):
+    """Acquire → yield → owner-checked release. A release failure
+    (broken/usurped lease) surfaces only when the body succeeded —
+    a body exception is never masked by it."""
+    token = _acquire_lease(spark, lease_path, purpose)
+    body_ok = False
+    try:
+        yield
+        body_ok = True
+    finally:
+        try:
+            _release_lease(spark, lease_path, token)
+        except RuntimeError:
+            if body_ok:
+                raise
+
+
+def _raise_if_legacy(spark: SparkSession, log_dir: str) -> None:
+    if _has_legacy_layout(spark, log_dir):
+        raise RuntimeError(
+            f"stream log {log_dir} uses the pre-epoch append layout (root "
+            "part files with an epoch data column); run "
+            "migrate_stream_log_layout(spark, dir, triples_dir=...) on "
+            "both log dirs with the stream stopped"
         )
 
 
@@ -482,22 +565,15 @@ def _needs_recovery(spark: SparkSession, final: str) -> bool:
 def _recover_under_lease(
     spark: SparkSession, triples_dir: str, touched_dir: str
 ) -> None:
-    """Take the compaction lease, repair both log dirs, release. Raises
+    """Take the maintenance lease, repair both log dirs, release. Raises
     (touching nothing) if the lease is held — a live compactor owns the
     swap state; a stale lease needs the operator's explicit
     ``compact_stream_log(break_lease=True)``."""
-    fs, lease = _fs_and_path(spark, _lease_path(triples_dir))
-    if not fs.createNewFile(lease):
-        raise RuntimeError(
-            f"stream log recovery: lease {_lease_path(triples_dir)} is "
-            "held — a compaction is running (or crashed; run "
-            "compact_stream_log(break_lease=True) to reclaim)"
-        )
-    try:
+    with _hold_lease(
+        spark, _lease_path(triples_dir), "stream log recovery"
+    ):
         for d in (triples_dir, touched_dir):
             _recover_log_dir(spark, d)
-    finally:
-        fs.delete(lease, False)
 
 
 def _has_legacy_layout(spark: SparkSession, log_dir: str) -> bool:
@@ -514,7 +590,12 @@ def _has_legacy_layout(spark: SparkSession, log_dir: str) -> bool:
     return False
 
 
-def migrate_stream_log_layout(spark: SparkSession, log_dir: str) -> int:
+def migrate_stream_log_layout(
+    spark: SparkSession,
+    log_dir: str,
+    triples_dir: str | None = None,
+    break_lease: bool = False,
+) -> int:
     """One-time migration of a pre-epoch-layout stream log (root-level
     part files carrying an ``epoch`` data column, the append-mode format
     the sink wrote before the replay-safe rework) to the current
@@ -522,25 +603,31 @@ def migrate_stream_log_layout(spark: SparkSession, log_dir: str) -> int:
     log, with the stream stopped. Uses the same
     materialize-to-``._compact``-then-rename-aside swap as
     :func:`compact_stream_log` (crash-safe: any interruption is
-    repaired by the standard recovery pass — under the lease, which
-    this function takes on ``log_dir`` itself). Returns the number of
-    rows migrated; 0 when the dir is absent or already migrated."""
+    repaired by the standard recovery pass).
+
+    ``triples_dir``: lease anchor — pass the TRIPLES log dir when
+    migrating the touched log, so the migration holds the SAME lease
+    every writer/compactor/reader checks (a lease on the touched dir
+    itself would coordinate with nobody — r5 second-review finding #2);
+    defaults to ``log_dir``, correct when migrating the triples log.
+    ``break_lease=True`` reclaims a stale lease left by a crashed
+    migration/compaction — only with the stream stopped. Returns the
+    number of rows migrated; 0 when the dir is absent or already
+    migrated."""
     if not _has_legacy_layout(spark, log_dir):
         return 0
-    fs, lease = _fs_and_path(spark, log_dir.rstrip("/") + "._compacting")
-    if not fs.createNewFile(lease):
-        raise RuntimeError(
-            f"migrate_stream_log_layout: lease on {log_dir} is held"
-        )
-    try:
+    lease = _lease_path(triples_dir or log_dir)
+    if break_lease:
+        fs, lp = _fs_and_path(spark, lease)
+        if fs.exists(lp):
+            fs.delete(lp, False)
+    with _hold_lease(spark, lease, "migrate_stream_log_layout"):
         df = spark.read.parquet(log_dir)  # epoch is a DATA column here
         tmp = log_dir.rstrip("/") + "._compact"
         df.write.mode("overwrite").partitionBy("epoch").parquet(tmp)
         n = spark.read.parquet(tmp).count()
         _swap_log_dir(spark, log_dir, tmp)
         return n
-    finally:
-        fs.delete(lease, False)
 
 
 def _swap_log_dir(spark: SparkSession, final: str, tmp: str) -> None:
@@ -580,18 +667,25 @@ def stream_current_triples(
     NOTHING — stale ``._compact``/``._old`` leftovers are cleaned by
     the next compactor, never by a reader racing a live one (the r5
     review's reader-deletes-in-flight-compaction finding)."""
-    if any(
-        _needs_recovery(spark, d) for d in (triples_dir, touched_dir)
-    ):
-        _recover_under_lease(spark, triples_dir, touched_dir)
+    # bounded retry: a LIVE compactor's swap window (final absent,
+    # leftovers present, lease held) lasts milliseconds — readers wait
+    # it out rather than spuriously failing on every compaction; only a
+    # genuinely stale lease (holder crashed) still raises, after ~6 s,
+    # with the break_lease recourse in the message.
+    for attempt in range(12):
+        if not any(
+            _needs_recovery(spark, d) for d in (triples_dir, touched_dir)
+        ):
+            break
+        try:
+            _recover_under_lease(spark, triples_dir, touched_dir)
+            break
+        except RuntimeError:
+            if attempt == 11:
+                raise
+            time.sleep(0.5)
     for d in (triples_dir, touched_dir):
-        if _has_legacy_layout(spark, d):
-            raise RuntimeError(
-                f"stream log {d} uses the pre-epoch append layout (root "
-                "part files with an epoch data column); run "
-                "migrate_stream_log_layout(spark, dir) on both log dirs "
-                "with the stream stopped"
-            )
+        _raise_if_legacy(spark, d)
     triples = spark.read.parquet(triples_dir)
     last_touch = (
         spark.read.parquet(touched_dir)
@@ -646,41 +740,29 @@ def compact_stream_log(
     swap demonstrably incomplete; readers never delete anything
     otherwise.
 
-    Concurrency: takes a lease file (``<triples_dir>._compacting``,
-    atomic create) for the duration; a stream epoch that fires while
-    the lease exists fails loudly instead of appending into a log being
-    rewritten, and a second concurrent compactor refuses to start.
-    ``break_lease=True`` reclaims a stale lease after a compactor
-    crash. Returns ``(0, 0)`` without touching anything if the touched
-    log is missing or empty."""
-    fs, lease = _fs_and_path(spark, _lease_path(triples_dir))
-    if fs.exists(lease):
-        if not break_lease:
-            raise RuntimeError(
-                f"compact_stream_log: lease {_lease_path(triples_dir)} "
-                "exists — another compaction is running (or crashed; pass "
-                "break_lease=True to reclaim)"
-            )
-        fs.delete(lease, False)
-    # atomic create: two compactors racing past the exists() check above
-    # still serialize here (HDFS/posix createNewFile is exclusive).
-    # Taken BEFORE the recovery pass: recovery renames/deletes swap
-    # leftovers, which must never race a live compactor or epoch writer
-    # (the r5 review's recovery-ignores-the-lease finding).
-    if not fs.createNewFile(lease):
-        raise RuntimeError(
-            "compact_stream_log: lost the lease race to a concurrent "
-            "compaction"
-        )
-    try:
+    Concurrency: holds the maintenance lease
+    (``<triples_dir>._compacting``, atomic create + owner token) for the
+    duration; a stream epoch that fires while the lease exists fails
+    loudly instead of appending into a log being rewritten, and a second
+    concurrent compactor refuses to start. ``break_lease=True`` reclaims
+    a stale lease after a holder crash — ONLY with the stream stopped: a
+    LIVE holder whose lease is broken will itself fail at release (owner
+    token mismatch) rather than silently dissolving the mutual
+    exclusion. Returns ``(0, 0)`` without touching anything if the
+    touched log is missing or empty."""
+    if break_lease:
+        fs, lp = _fs_and_path(spark, _lease_path(triples_dir))
+        if fs.exists(lp):
+            fs.delete(lp, False)
+    # lease taken BEFORE the recovery pass: recovery renames/deletes
+    # swap leftovers, which must never race a live compactor or epoch
+    # writer (the r5 review's recovery-ignores-the-lease finding)
+    with _hold_lease(
+        spark, _lease_path(triples_dir), "compact_stream_log"
+    ):
         for d in (triples_dir, touched_dir):
             _recover_log_dir(spark, d)
-            if _has_legacy_layout(spark, d):
-                raise RuntimeError(
-                    f"stream log {d} uses the pre-epoch append layout; "
-                    "run migrate_stream_log_layout(spark, dir) on both "
-                    "log dirs with the stream stopped"
-                )
+            _raise_if_legacy(spark, d)
         tfs, tpath = _fs_and_path(spark, touched_dir)
         if not tfs.exists(tpath):
             return 0, 0
@@ -711,5 +793,3 @@ def compact_stream_log(
         for final, tmp in ((triples_dir, tmp_t), (touched_dir, tmp_u)):
             _swap_log_dir(spark, final, tmp)
         return n_live, n_urls
-    finally:
-        fs.delete(lease, False)

@@ -311,7 +311,7 @@ def test_stream_log_replay_crash_recovery_and_lease(spark, tmp_path):
 
     # lease held -> stream epoch check and second compactor fail loudly
     open(_lease_path(t), "w").close()
-    with pytest.raises(RuntimeError, match="compaction"):
+    with pytest.raises(RuntimeError, match="maintenance"):
         _check_compaction_lease(spark, t)
     with pytest.raises(RuntimeError, match="lease"):
         compact_stream_log(spark, t, u)
@@ -353,8 +353,14 @@ def test_stream_log_replay_crash_recovery_and_lease(spark, tmp_path):
     # history, ._compact the compacted copy, and a post-crash epoch
     # recreated final with ONLY its own epoch dir. Recovery must graft
     # the new epoch into the compacted copy, not trust bare final.
+    # The ._compact copy is seeded with a STALE epoch=2 partition too
+    # (the replayed-epoch collision case): the writer's version must
+    # REPLACE it wholesale, not nest inside it.
     os.rename(t, t + "._old")
     shutil.copytree(t + "._old", t + "._compact")
+    triples([("http://b#0", "mappedTo", "STALE", 0.1)]).write.mode(
+        "overwrite"
+    ).parquet(t + "._compact/epoch=2")
     e2 = triples([("http://b#0", "mappedTo", "W", 0.7)])
     write_epoch_state(e2, urls(["http://b"]), dig, t, u, g, 2)
     want2 = sorted(
@@ -427,7 +433,9 @@ def test_stream_log_layout_migration(spark, tmp_path):
     with pytest.raises(RuntimeError, match="migrate_stream_log_layout"):
         stream_current_triples(spark, t, u).collect()
     assert migrate_stream_log_layout(spark, t) == 3
-    assert migrate_stream_log_layout(spark, u) == 3
+    # the touched log migrates under the TRIPLES-dir lease — the one
+    # anchor every writer/compactor/reader coordinates on
+    assert migrate_stream_log_layout(spark, u, triples_dir=t) == 3
     # second run is a no-op
     assert migrate_stream_log_layout(spark, t) == 0
     assert sorted(
@@ -436,3 +444,50 @@ def test_stream_log_layout_migration(spark, tmp_path):
         [("http://a#0", "mappedTo", "Z", 0.9),
          ("http://b#0", "mappedTo", "Y", 0.5)]
     )
+
+
+def test_lease_owner_token_protocol(spark, tmp_path):
+    """The lease carries an owner token (r5 second review): a holder
+    whose lease was broken-and-retaken must FAIL at release instead of
+    deleting the new holder's lease — deleting it would silently
+    dissolve the mutual exclusion between a live writer and a live
+    compactor."""
+    from ontology_mapper_spark.streaming.ingest import (
+        _acquire_lease,
+        _hold_lease,
+        _release_lease,
+    )
+
+    lp = str(tmp_path / "log._compacting")
+    tok = _acquire_lease(spark, lp, "test")
+    # second acquirer fails while held
+    with pytest.raises(RuntimeError, match="lease"):
+        _acquire_lease(spark, lp, "test2")
+    _release_lease(spark, lp, tok)
+    assert not os.path.exists(lp)
+
+    # broken lease: holder's release raises instead of going quiet
+    tok = _acquire_lease(spark, lp, "test")
+    os.remove(lp)  # operator breaks it
+    with pytest.raises(RuntimeError, match="broken"):
+        _release_lease(spark, lp, tok)
+
+    # usurped lease: broken AND re-taken by another actor — the
+    # original holder must not delete the new holder's lease
+    tok1 = _acquire_lease(spark, lp, "a")
+    os.remove(lp)
+    tok2 = _acquire_lease(spark, lp, "b")
+    with pytest.raises(RuntimeError, match="usurped"):
+        _release_lease(spark, lp, tok1)
+    assert os.path.exists(lp)  # b's lease survived a's release attempt
+    _release_lease(spark, lp, tok2)
+
+    # context manager: body exception is never masked by a release
+    # failure; a clean body surfaces the usurpation
+    with pytest.raises(ValueError, match="body"):
+        with _hold_lease(spark, lp, "test"):
+            os.remove(lp)
+            raise ValueError("body failed first")
+    with pytest.raises(RuntimeError, match="broken"):
+        with _hold_lease(spark, lp, "test"):
+            os.remove(lp)
