@@ -491,3 +491,107 @@ def test_lease_owner_token_protocol(spark, tmp_path):
     with pytest.raises(RuntimeError, match="broken"):
         with _hold_lease(spark, lp, "test"):
             os.remove(lp)
+
+
+@pytest.mark.spark
+@pytest.mark.slow
+def test_stream_log_crash_model_property(spark, tmp_path):
+    """Model-based crash-safety sweep: a seeded-random interleaving of
+    epoch writes (including supersede-with-zero-rows), compactions, and
+    simulated compactor-crash states (stale ._compact; rename-aside
+    done; promote done but ._old left — on either log dir) must ALWAYS
+    resolve to the KG a plain dict replay of the write sequence
+    predicts. The reader's lease-guarded recovery and the writer's
+    graft path are exercised by whatever interleaving the seed picks;
+    the model never sees the crashes at all — that is the invariant."""
+    import random
+    import shutil
+
+    from ontology_mapper_spark.streaming.ingest import (
+        compact_stream_log,
+        stream_current_triples,
+        write_epoch_state,
+    )
+
+    rng = random.Random(20260818)
+    URLS = ["a", "b", "c", "d", "e"]
+
+    def run_case(case: int) -> None:
+        base = tmp_path / f"case{case}"
+        t, u, g = (str(base / k) for k in ("triples", "touched", "dig"))
+        model: dict[str, tuple[int, str | None]] = {}  # url -> (epoch, obj)
+        epoch = 0
+
+        def write(urls, mapped):
+            nonlocal epoch
+            rows = [
+                (f"http://{x}#0", "mappedTo", f"V{epoch}", 0.5)
+                for x in urls
+                if x in mapped
+            ]
+            fresh = spark.createDataFrame(
+                rows or [],
+                "subj string, pred string, obj string, score double",
+            )
+            touched = spark.createDataFrame(
+                [(f"http://{x}",) for x in urls], "url string"
+            )
+            dig = spark.createDataFrame(
+                [(f"http://{x}", f"d{epoch}") for x in urls],
+                "url string, digest string",
+            )
+            write_epoch_state(fresh, touched, dig, t, u, g, epoch)
+            for x in urls:
+                model[x] = (epoch, f"V{epoch}" if x in mapped else None)
+            epoch += 1
+
+        def crash_state(d: str) -> None:
+            if not os.path.exists(d):
+                return
+            kind = rng.choice(["stale_compact", "aside", "old_left"])
+            shutil.rmtree(d + "._compact", ignore_errors=True)
+            shutil.rmtree(d + "._old", ignore_errors=True)
+            if kind == "stale_compact":
+                shutil.copytree(d, d + "._compact")
+            elif kind == "aside":
+                shutil.copytree(d, d + "._compact")
+                os.rename(d, d + "._old")
+            else:  # promote finished, ._old not yet dropped
+                shutil.copytree(d, d + "._old")
+
+        def check() -> None:
+            got = sorted(
+                map(tuple, stream_current_triples(spark, t, u).collect())
+            )
+            want = sorted(
+                (f"http://{x}#0", "mappedTo", obj, 0.5)
+                for x, (_, obj) in model.items()
+                if obj is not None
+            )
+            assert got == want, f"case {case}: {got} != {want}"
+
+        write(rng.sample(URLS, 3), set(URLS))  # seed the log
+        for _ in range(9):
+            op = rng.choice(["write", "write", "compact", "crash"])
+            if op == "write":
+                urls = rng.sample(URLS, rng.randint(1, 3))
+                # sometimes a url is touched but maps to NOTHING (its
+                # content no longer mentions anything) — supersession
+                # must still retire its old triples
+                mapped = {x for x in urls if rng.random() > 0.25}
+                write(urls, mapped)
+            elif op == "compact":
+                compact_stream_log(spark, t, u)
+            else:
+                crash_state(rng.choice([t, u]))
+                if rng.random() < 0.5:
+                    # an epoch fires BEFORE anything reads/repairs: on
+                    # the rename-aside state this recreates the missing
+                    # final with only the new epoch — the reader's graft
+                    # recovery must keep history AND the new epoch
+                    urls = rng.sample(URLS, rng.randint(1, 2))
+                    write(urls, set(urls))
+            check()
+
+    for case in range(2):
+        run_case(case)
