@@ -381,6 +381,13 @@ def _lease_path(triples_dir: str) -> str:
     return triples_dir.rstrip("/") + "._compacting"
 
 
+# reader recovery retry budget: a live compactor's swap window clears in
+# well under a second; a stale lease surfaces after ATTEMPTS x DELAY.
+# Module-level so tests and deployments can tune the wait.
+READER_RETRY_ATTEMPTS = 12
+READER_RETRY_DELAY_SEC = 0.5
+
+
 def _check_compaction_lease(spark: SparkSession, triples_dir: str) -> None:
     fs, lease = _fs_and_path(spark, _lease_path(triples_dir))
     if fs.exists(lease):
@@ -399,7 +406,15 @@ def _acquire_lease(spark: SparkSession, lease_path: str, purpose: str) -> str:
     broken mid-hold and re-taken by another actor would be deleted by
     the original holder's finally — dissolving mutual exclusion exactly
     when two actors are live (r5 second-review finding #1). Returns the
-    token; raises naming ``purpose`` when the lease is held."""
+    token; raises naming ``purpose`` when the lease is held.
+
+    Residual window, documented: between the atomic ``createNewFile``
+    and the token stamp, a ``break_lease`` + re-acquire by another
+    actor would be clobbered by our stamp. Reaching it requires an
+    operator breaking a milliseconds-old lease against the explicit
+    "only with the stream stopped" contract; atomic create-with-content
+    is not portable (local-FS rename overwrites, so rename-onto-path
+    cannot substitute for createNewFile)."""
     fs, lp = _fs_and_path(spark, lease_path)
     if not fs.createNewFile(lp):
         raise RuntimeError(
@@ -409,19 +424,40 @@ def _acquire_lease(spark: SparkSession, lease_path: str, purpose: str) -> str:
             "stopped)"
         )
     token = uuid.uuid4().hex
-    out = fs.create(lp, True)  # we own the file; stamp it
     try:
-        out.write(bytearray(token.encode("ascii")))
-    finally:
-        out.close()
+        out = fs.create(lp, True)  # we own the file; stamp it
+        try:
+            out.write(bytearray(token.encode("ascii")))
+        finally:
+            out.close()
+    except Exception:
+        # a failed stamp must not leave a tokenless lease blocking every
+        # writer/compactor/reader until manual break_lease (r5 third
+        # review #1): we still own the file here, so drop it
+        try:
+            fs.delete(lp, False)
+        except Exception:
+            pass
+        raise
     return token
 
 
-def _lease_owner(spark: SparkSession, lease_path: str) -> str | None:
+def _break_lease(spark: SparkSession, lease_path: str) -> None:
+    """Operator-explicit lease reclaim. ONLY safe with the stream
+    stopped — breaking a LIVE holder's lease voids mutual exclusion
+    (the live holder will itself fail at release, but its in-flight
+    writes may already have been seen torn)."""
     fs, lp = _fs_and_path(spark, lease_path)
-    if not fs.exists(lp):
-        return None
-    stream = fs.open(lp)
+    if fs.exists(lp):
+        fs.delete(lp, False)
+
+
+def _read_lease_token(spark: SparkSession, path: str) -> str | None:
+    fs, lp = _fs_and_path(spark, path)
+    try:
+        stream = fs.open(lp)
+    except Exception:
+        return None  # vanished/unreadable == not provably ours
     try:
         return str(
             spark._jvm.org.apache.commons.io.IOUtils.toString(
@@ -433,29 +469,55 @@ def _lease_owner(spark: SparkSession, lease_path: str) -> str | None:
 
 
 def _release_lease(spark: SparkSession, lease_path: str, token: str) -> None:
-    """Delete the lease ONLY if we still own it. A vanished or usurped
-    lease means an operator broke it while we were live — raise so the
-    caller's work is NOT treated as committed on top of dissolved
-    mutual exclusion (a failed stream batch replays; a failed compactor
-    leaves the log resolvable either way)."""
-    owner = _lease_owner(spark, lease_path)
-    if owner != token:
-        raise RuntimeError(
-            f"lease {lease_path} was "
-            + ("broken" if owner is None else "usurped")
-            + " while held — another maintenance actor may have seen "
-            "torn state; this operation fails so it is not committed "
-            "on top of dissolved mutual exclusion"
-        )
+    """Release by ATOMIC CLAIM: rename the lease to a holder-unique
+    path first (the rename is the single atomic decision point — after
+    it no other actor can read, break, or re-take THAT file), then
+    verify the token in the claimed copy. A failed rename or a token
+    mismatch means the lease was broken (and possibly re-taken) while
+    we were live — raise so the caller's work is NOT treated as
+    committed on top of dissolved mutual exclusion (a failed stream
+    batch replays; a failed compactor leaves the log resolvable either
+    way). The read-then-delete TOCTOU of a naive release (owner swaps
+    between the two RPCs) is gone: we only ever delete the file we
+    claimed."""
     fs, lp = _fs_and_path(spark, lease_path)
-    fs.delete(lp, False)
+    claim = lease_path + ".release." + token[:12]
+    _, cp = _fs_and_path(spark, claim)
+    claimed = False
+    try:
+        claimed = bool(fs.rename(lp, cp))
+    except Exception:
+        claimed = False
+    if not claimed:
+        raise RuntimeError(
+            f"lease {lease_path} was broken while held — another "
+            "maintenance actor may have seen torn state; this operation "
+            "fails so it is not committed on top of dissolved mutual "
+            "exclusion"
+        )
+    owner = _read_lease_token(spark, claim)
+    if owner != token:
+        # we claimed SOMEBODY ELSE's lease (ours was broken and the
+        # path re-taken): give it back, then fail loudly
+        try:
+            fs.rename(cp, lp)
+        except Exception:
+            pass
+        raise RuntimeError(
+            f"lease {lease_path} was usurped while held — another "
+            "maintenance actor may have seen torn state; this operation "
+            "fails so it is not committed on top of dissolved mutual "
+            "exclusion"
+        )
+    fs.delete(cp, False)
 
 
 @contextlib.contextmanager
 def _hold_lease(spark: SparkSession, lease_path: str, purpose: str):
     """Acquire → yield → owner-checked release. A release failure
-    (broken/usurped lease) surfaces only when the body succeeded —
-    a body exception is never masked by it."""
+    (broken/usurped lease, or any FS error during the release RPCs)
+    surfaces only when the body succeeded — a body exception is never
+    masked by it."""
     token = _acquire_lease(spark, lease_path, purpose)
     body_ok = False
     try:
@@ -464,7 +526,9 @@ def _hold_lease(spark: SparkSession, lease_path: str, purpose: str):
     finally:
         try:
             _release_lease(spark, lease_path, token)
-        except RuntimeError:
+        except Exception:
+            # broad on purpose: Py4J/Java IO errors here must not mask
+            # the body's own exception either (r5 third review #4)
             if body_ok:
                 raise
 
@@ -593,7 +657,7 @@ def _has_legacy_layout(spark: SparkSession, log_dir: str) -> bool:
 def migrate_stream_log_layout(
     spark: SparkSession,
     log_dir: str,
-    triples_dir: str | None = None,
+    triples_dir: str,
     break_lease: bool = False,
 ) -> int:
     """One-time migration of a pre-epoch-layout stream log (root-level
@@ -605,22 +669,21 @@ def migrate_stream_log_layout(
     :func:`compact_stream_log` (crash-safe: any interruption is
     repaired by the standard recovery pass).
 
-    ``triples_dir``: lease anchor — pass the TRIPLES log dir when
-    migrating the touched log, so the migration holds the SAME lease
-    every writer/compactor/reader checks (a lease on the touched dir
-    itself would coordinate with nobody — r5 second-review finding #2);
-    defaults to ``log_dir``, correct when migrating the triples log.
-    ``break_lease=True`` reclaims a stale lease left by a crashed
-    migration/compaction — only with the stream stopped. Returns the
-    number of rows migrated; 0 when the dir is absent or already
-    migrated."""
+    ``triples_dir``: the lease anchor, REQUIRED — always the TRIPLES
+    log dir (pass ``log_dir`` again when migrating the triples log
+    itself), so the migration holds the SAME lease every writer,
+    compactor, and reader checks. It is deliberately not defaultable: a
+    default of ``log_dir`` would silently take an uncoordinated lease
+    on the touched dir that nobody else checks — r5 second-review
+    finding #2. ``break_lease=True`` reclaims a stale lease left by a
+    crashed migration/compaction — only with the stream stopped.
+    Returns the number of rows migrated; 0 when the dir is absent or
+    already migrated."""
     if not _has_legacy_layout(spark, log_dir):
         return 0
-    lease = _lease_path(triples_dir or log_dir)
+    lease = _lease_path(triples_dir)
     if break_lease:
-        fs, lp = _fs_and_path(spark, lease)
-        if fs.exists(lp):
-            fs.delete(lp, False)
+        _break_lease(spark, lease)
     with _hold_lease(spark, lease, "migrate_stream_log_layout"):
         df = spark.read.parquet(log_dir)  # epoch is a DATA column here
         tmp = log_dir.rstrip("/") + "._compact"
@@ -670,9 +733,11 @@ def stream_current_triples(
     # bounded retry: a LIVE compactor's swap window (final absent,
     # leftovers present, lease held) lasts milliseconds — readers wait
     # it out rather than spuriously failing on every compaction; only a
-    # genuinely stale lease (holder crashed) still raises, after ~6 s,
-    # with the break_lease recourse in the message.
-    for attempt in range(12):
+    # genuinely stale lease (holder crashed) still raises, after
+    # ~ATTEMPTS x DELAY seconds, with the break_lease recourse in the
+    # message. Broad except: a lease race can also surface as a Py4J
+    # IO error (e.g. the lease vanishing between exists and open).
+    for attempt in range(READER_RETRY_ATTEMPTS):
         if not any(
             _needs_recovery(spark, d) for d in (triples_dir, touched_dir)
         ):
@@ -680,10 +745,10 @@ def stream_current_triples(
         try:
             _recover_under_lease(spark, triples_dir, touched_dir)
             break
-        except RuntimeError:
-            if attempt == 11:
+        except Exception:
+            if attempt == READER_RETRY_ATTEMPTS - 1:
                 raise
-            time.sleep(0.5)
+            time.sleep(READER_RETRY_DELAY_SEC)
     for d in (triples_dir, touched_dir):
         _raise_if_legacy(spark, d)
     triples = spark.read.parquet(triples_dir)
@@ -751,9 +816,7 @@ def compact_stream_log(
     exclusion. Returns ``(0, 0)`` without touching anything if the
     touched log is missing or empty."""
     if break_lease:
-        fs, lp = _fs_and_path(spark, _lease_path(triples_dir))
-        if fs.exists(lp):
-            fs.delete(lp, False)
+        _break_lease(spark, _lease_path(triples_dir))
     # lease taken BEFORE the recovery pass: recovery renames/deletes
     # swap leftovers, which must never race a live compactor or epoch
     # writer (the r5 review's recovery-ignores-the-lease finding)

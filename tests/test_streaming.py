@@ -371,12 +371,23 @@ def test_stream_log_replay_crash_recovery_and_lease(spark, tmp_path):
     assert not os.path.exists(t + "._old")
     assert not os.path.exists(t + "._compact")
 
-    # reader refuses to repair while a lease is held (live compactor)
+    # reader refuses to repair while a lease is held (live compactor);
+    # retries are shrunk so the stale-lease path doesn't sleep ~6 s here
+    import ontology_mapper_spark.streaming.ingest as ingest_mod
+
     os.rename(u, u + "._old")
     shutil.copytree(u + "._old", u + "._compact")
     open(_lease_path(t), "w").close()
-    with pytest.raises(RuntimeError, match="lease"):
-        resolved()
+    old_attempts, old_delay = (
+        ingest_mod.READER_RETRY_ATTEMPTS, ingest_mod.READER_RETRY_DELAY_SEC
+    )
+    ingest_mod.READER_RETRY_ATTEMPTS, ingest_mod.READER_RETRY_DELAY_SEC = 2, 0.05
+    try:
+        with pytest.raises(RuntimeError, match="lease"):
+            resolved()
+    finally:
+        ingest_mod.READER_RETRY_ATTEMPTS = old_attempts
+        ingest_mod.READER_RETRY_DELAY_SEC = old_delay
     os.remove(_lease_path(t))
     assert resolved() == want2  # lease gone -> repaired and readable
 
@@ -432,12 +443,13 @@ def test_stream_log_layout_migration(spark, tmp_path):
 
     with pytest.raises(RuntimeError, match="migrate_stream_log_layout"):
         stream_current_triples(spark, t, u).collect()
-    assert migrate_stream_log_layout(spark, t) == 3
+    assert migrate_stream_log_layout(spark, t, triples_dir=t) == 3
     # the touched log migrates under the TRIPLES-dir lease — the one
-    # anchor every writer/compactor/reader coordinates on
+    # anchor every writer/compactor/reader coordinates on (the anchor is
+    # a required arg so nobody can silently take an uncoordinated lease)
     assert migrate_stream_log_layout(spark, u, triples_dir=t) == 3
     # second run is a no-op
-    assert migrate_stream_log_layout(spark, t) == 0
+    assert migrate_stream_log_layout(spark, t, triples_dir=t) == 0
     assert sorted(
         map(tuple, stream_current_triples(spark, t, u).collect())
     ) == sorted(
