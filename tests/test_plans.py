@@ -296,3 +296,36 @@ def test_kg_diff_is_one_sort_merge_join(spark):
     assert "BroadcastNestedLoopJoin" not in p, p
     assert "MapInPandas" not in p and "BatchEvalPython" not in p, p
     assert tree.count("Exchange") == 2, tree
+
+
+def test_pagerank_iteration_is_single_join_per_round(spark):
+    """pagerank_int's 100 TB contract (r5 rework): the out-degree is
+    annotated onto the edge relation ONCE, outside the loop, so NO
+    iteration's plan re-joins an out-degree aggregate — each round is
+    exactly one join (ranks into the degree-annotated edges) plus one
+    contribution aggregate. A regression to the naive
+    edges⋈outdeg⋈ranks double join would show a per-iteration count
+    aggregate over the edge relation; the loop body must contain none
+    (the only count(1) aggregates allowed are inside the one-time window
+    annotation, which is checkpointed away before the loop)."""
+    from ontology_mapper_spark.operators.graph import pagerank_int
+
+    edges = spark.createDataFrame(
+        [("s%d" % (i % 17), "d%d" % (i % 29)) for i in range(200)],
+        "src string, dst string",
+    )
+    p = plan_str(pagerank_int(edges, iterations=2))
+    tree = p.split("\n\n")[0]
+    # loop-invariant relations are materialized (checkpointed): the
+    # out-degree window annotation ran pre-loop, so neither a Window nor
+    # a count aggregate (an out-degree recompute) appears ANYWHERE in
+    # the iterated plan — p includes the per-node detail sections where
+    # aggregate functions are spelled out
+    assert "Window" not in p, p
+    assert "count(1)" not in p and "count(*)" not in p, p
+    # exactly ONE ranks-into-edges join per iteration (whatever physical
+    # strategy the optimizer picks) — the naive shape had two inner
+    # joins per round (edges⋈outdeg, then ⋈ranks)
+    assert tree.count("Join Inner") == 2, tree
+    # plus the node-sized rank reassembly: one left-outer per iteration
+    assert tree.count("Join LeftOuter") == 2, tree
