@@ -329,3 +329,30 @@ def test_pagerank_iteration_is_single_join_per_round(spark):
     assert tree.count("Join Inner") == 2, tree
     # plus the node-sized rank reassembly: one left-outer per iteration
     assert tree.count("Join LeftOuter") == 2, tree
+
+
+def test_entity_cooccurrence_pair_join_is_equi(spark):
+    """entity_cooccurrence's 100 TB contract: the pair generation is a
+    url-keyed EQUI self-join over the capped (checkpointed) page→entity
+    relation — never a nested loop over the fact table. The only
+    BroadcastNestedLoopJoin allowed in the plan is the 1-row ``total``
+    cross join (Cross BuildRight over a broadcast single-row aggregate);
+    the per-entity count attachments are broadcast hash joins; no Python
+    anywhere."""
+    from ontology_mapper_spark.operators.graph import entity_cooccurrence
+
+    tri = spark.createDataFrame(
+        [("http://u%d#0" % (i % 13), "mappedTo", "E%d" % (i % 7), 0.5)
+         for i in range(100)],
+        "subj string, pred string, obj string, score double",
+    )
+    p = plan_str(entity_cooccurrence(tri))
+    tree = p.split("\n\n")[0]
+    assert tree.count("BroadcastNestedLoopJoin Cross BuildRight") == 1, tree
+    assert tree.count("BroadcastNestedLoopJoin") == 1, tree
+    # the url-keyed pair self-join (equi; strategy may vary, never NL)
+    assert (
+        tree.count("SortMergeJoin Inner")
+        + tree.count("ShuffledHashJoin Inner") >= 1
+    ), tree
+    assert "MapInPandas" not in p and "BatchEvalPython" not in p, p
