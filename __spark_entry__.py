@@ -57,11 +57,24 @@ DEFAULT_SF = "/root/testdata/sf0.001"
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # The driver tables are single-row-group parquet files, so the scan
+    # is one task and everything computed above it (shingle explodes,
+    # md5s, Arrow kernels, string metrics) serializes on one core.
+    # spread_small_scan round-robins ONLY a too-small scan across the
+    # cores (no-op at production scan sizes) — see spread.py.
+    from ontology_mapper_spark.spread import spread_small_scan
+
+    return spread_small_scan(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from ontology_mapper_spark.spread import spread_small_scan
+
+    return spread_small_scan(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    )
 
 
 def _mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
