@@ -215,41 +215,63 @@ def entity_cooccurrence(
     same hash-comparable discipline as ``pagerank_int``.
 
     Scale shape: the page->entity projection is deduped with one shuffle
-    on (url, entity); the pair join shuffles on ``url`` only, and the
-    per-page entity cap (deterministic: rank by entity id within the
-    page) bounds the per-key fan-out at cap^2/2 rows — a mega-hub page
-    cannot quadratically explode a partition, the analog of the dedup
-    module's hot-bucket guard. Entity page-counts and the page total are
+    on (url, entity); the capped per-page entity sets are then assembled
+    as SORTED ARRAYS (bounded at ``max_entities_per_page`` elements by
+    the row_number cap BEFORE the array aggregate, so no aggregation
+    buffer ever exceeds the cap) and pairs are generated MAP-SIDE from
+    each array by two chained Generates — the dedup module's
+    bucket-array shape — so the pair relation never passes through a
+    url-keyed self-join (r5's equi-join spelling paid a third shuffle
+    plus two sort legs; measured at sf0.1 the array form is ~2x faster).
+    A mega-hub page still cannot explode a partition: fan-out is capped
+    at cap^2/2 pairs per page. Entity page-counts and the page total are
     tiny aggregates broadcast back onto the pair relation.
     """
     from pyspark.sql import Window
 
     from ontology_mapper_spark.pipeline import triple_url
+    from ontology_mapper_spark.spread import spread_small_scan
 
+    # a small snapshot scans as one task (single-row-group parquet) and
+    # would serialize the triple_url regexp + dedup partials on one core
     ents = (
-        triples.filter(F.col("pred") == mapped_pred)
+        spread_small_scan(triples)
+        .filter(F.col("pred") == mapped_pred)
         .select(triple_url("subj").alias("url"), F.col("obj").alias("entity"))
         .distinct()
     )
     w = Window.partitionBy("url").orderBy("entity")
-    # eager pin: three consumers (pairs, per-entity counts, page total)
-    # would otherwise each replay the distinct + window
+    # the groupBy("url") reuses the window's hash(url) partitioning (no
+    # extra exchange); eager pin: three consumers (pairs, per-entity
+    # counts, page total) would otherwise each replay distinct + window.
+    # One row per page with a <=cap-element array — cheaper to
+    # materialize than the r5 row-form relation it replaces.
     capped = (
         ents.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= max_entities_per_page)
-        .drop("_rk")
+        .groupBy("url")
+        .agg(F.sort_array(F.collect_list("entity")).alias("es"))
         .localCheckpoint()
     )
-    a = capped.select("url", F.col("entity").alias("entity_a"))
-    b = capped.select("url", F.col("entity").alias("entity_b"))
+    # two chained Generates stay pipelined: ordered pairs (a < b by the
+    # array sort) stream out one at a time, no C(n,2) array materialized
     pairs = (
-        a.join(b, "url")
-        .filter(F.col("entity_a") < F.col("entity_b"))
+        capped.select("es", F.posexplode("es").alias("_i", "entity_a"))
+        .select(
+            "entity_a",
+            F.explode(
+                F.slice("es", F.col("_i") + 2, F.size("es"))
+            ).alias("entity_b"),
+        )
         .groupBy("entity_a", "entity_b")
         .agg(F.count(F.lit(1)).alias("co_count"))
     )
-    cnts = capped.groupBy("entity").agg(F.count(F.lit(1)).alias("n_ent"))
-    total = capped.select(F.countDistinct("url").alias("n_pages"))
+    cnts = (
+        capped.select(F.explode("es").alias("entity"))
+        .groupBy("entity")
+        .agg(F.count(F.lit(1)).alias("n_ent"))
+    )
+    total = capped.select(F.count(F.lit(1)).alias("n_pages"))
     return (
         pairs.join(
             F.broadcast(

@@ -331,14 +331,15 @@ def test_pagerank_iteration_is_single_join_per_round(spark):
     assert tree.count("Join LeftOuter") == 2, tree
 
 
-def test_entity_cooccurrence_pair_join_is_equi(spark):
-    """entity_cooccurrence's 100 TB contract: the pair generation is a
-    url-keyed EQUI self-join over the capped (checkpointed) page→entity
-    relation — never a nested loop over the fact table. The only
-    BroadcastNestedLoopJoin allowed in the plan is the 1-row ``total``
-    cross join (Cross BuildRight over a broadcast single-row aggregate);
-    the per-entity count attachments are broadcast hash joins; no Python
-    anywhere."""
+def test_entity_cooccurrence_pairs_are_map_side_arrays(spark):
+    """entity_cooccurrence's 100 TB contract (r6 rework): pairs are
+    generated MAP-SIDE from the capped (checkpointed) per-page entity
+    arrays by two chained Generates — never a self-join over the fact
+    relation (the r5 url-keyed equi-join paid an extra shuffle plus two
+    sort legs). The only BroadcastNestedLoopJoin allowed in the plan is
+    the 1-row ``total`` cross join (Cross BuildRight over a broadcast
+    single-row aggregate); the per-entity count attachments are
+    broadcast hash joins; no Python anywhere."""
     from ontology_mapper_spark.operators.graph import entity_cooccurrence
 
     tri = spark.createDataFrame(
@@ -350,9 +351,9 @@ def test_entity_cooccurrence_pair_join_is_equi(spark):
     tree = p.split("\n\n")[0]
     assert tree.count("BroadcastNestedLoopJoin Cross BuildRight") == 1, tree
     assert tree.count("BroadcastNestedLoopJoin") == 1, tree
-    # the url-keyed pair self-join (equi; strategy may vary, never NL)
-    assert (
-        tree.count("SortMergeJoin Inner")
-        + tree.count("ShuffledHashJoin Inner") >= 1
-    ), tree
+    # pair generation is the chained-Generate array form: no self-join
+    # of any strategy remains in the plan
+    assert "SortMergeJoin" not in tree, tree
+    assert "ShuffledHashJoin" not in tree, tree
+    assert tree.count("Generate") >= 2, tree
     assert "MapInPandas" not in p and "BatchEvalPython" not in p, p
