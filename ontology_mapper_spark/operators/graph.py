@@ -117,38 +117,46 @@ def pagerank_int(
     so each iteration pays exactly one join (ranks into the
     degree-annotated edges on ``src``) and one aggregate (contributions
     on ``dst``), not the naive edges⋈outdeg⋈ranks double join. The
-    window leaves the checkpointed edge relation hash-partitioned on
-    the loop's join key (on a cluster this is the bucketed-join shape —
-    the edge side never moves again after the annotation pass). Edge
-    relation, node set, and every third iteration's ranks are
-    localCheckpointed so no iteration's plan re-scans the input (the
-    iterated-join pattern of ``ancestor_closure``)."""
-    # pin the edge relation once: nodes and the degree join both read it,
-    # and the 3-iteration lineage span would otherwise re-scan the input
-    # once per embedded iteration (the ancestor_closure pattern)
-    e = edges.select(
-        F.col(src).alias("_s"), F.col(dst).alias("_d")
-    ).localCheckpoint()
-    nodes = (
-        e.select(F.col("_s").alias("node"))
-        .unionByName(e.select(F.col("_d").alias("node")))
-        .distinct()
-        .repartition("node")
-        .localCheckpoint()
-    )
-    # loop-invariant: each edge annotated with its source's out-degree —
+    annotated edge relation and the node set are pinned with persist()
+    (cached plans keep their hash partitioning AND sort order, which a
+    localCheckpoint's ExistingRDD scan loses), so after the annotation
+    pass the edge side never shuffles or sorts again — each iteration
+    moves only node-sized relations (on a cluster this is the
+    bucketed-join shape). Every third iteration's ranks are
+    localCheckpointed to bound lineage depth."""
+    # Loop-invariant: each edge annotated with its source's out-degree —
     # (r*85) div (100*_od) only needs _od next to the edge, never a
     # second join in the loop. A count window over _s does it in ONE
     # shuffle+sort with no dimension relation moving at all (the
     # agg-then-join-back spelling shuffles the edge relation just the
     # same and pays a second join on top — measured ~20% slower
-    # end-to-end); the window's hash partitioning on _s is also exactly
-    # the partitioning every loop iteration joins on. Skew exposure is
-    # identical to the groupBy spelling: one hub source's edges land in
-    # one task either way.
-    e_od = e.withColumn(
-        "_od", F.count(F.lit(1)).over(Window.partitionBy("_s"))
-    ).localCheckpoint()
+    # end-to-end); the window's hash partitioning AND sort on _s are
+    # exactly what every loop iteration's ranks join requires. Skew
+    # exposure is identical to the groupBy spelling: one hub source's
+    # edges land in one task either way.
+    #
+    # r6: the invariants are pinned with persist(), NOT localCheckpoint —
+    # a checkpointed relation comes back as an ExistingRDD scan with
+    # UnknownPartitioning, so every iteration's join RE-SHUFFLED AND
+    # RE-SORTED the full edge relation (measured in the r5 plans). A
+    # cached plan keeps its outputPartitioning and outputOrdering
+    # (spark.sql.optimizer.canChangeCachedPlanOutputPartitioning stays
+    # at its default false), so the edge relation never moves or sorts
+    # again after the annotation pass: each iteration shuffles only the
+    # node-sized ranks/contribution relations.
+    e_od = (
+        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+        .withColumn("_od", F.count(F.lit(1)).over(Window.partitionBy("_s")))
+        .persist()
+    )
+    # node set derived from the annotated edges (one pinned relation
+    # instead of r5's separate edge checkpoint read twice)
+    nodes = (
+        e_od.select(F.col("_s").alias("node"))
+        .unionByName(e_od.select(F.col("_d").alias("node")))
+        .distinct()
+        .persist()
+    )
     ranks = nodes.withColumn("r", F.lit(1_000_000).cast("long"))
     # int64-safe ceiling: past it, r * 85 would overflow — Spark (non-ANSI)
     # wraps SILENTLY where DuckDB raises and the Python replica is exact,
@@ -167,11 +175,19 @@ def pagerank_int(
                 )
             ).cast("long"),
         ).otherwise(F.col("r"))
+        # SHUFFLE_HASH hints: both loop joins build their hash map from
+        # the node-sized side (one rank row per node; the contribution
+        # aggregate), so the per-task build is |nodes| / shuffle
+        # partitions and uniform (unique keys). A sort-merge join here
+        # re-SORTS the full edge relation every iteration (the exchange
+        # itself is stage-reused across iterations by AQE, the sort is
+        # not) — measured at 600k edges x 6 iterations the hash join
+        # drops that entire per-iteration sort cost.
         contrib = (
             e_od.join(
                 ranks.select(
                     F.col("node").alias("_s"), safe_r.alias("r")
-                ),
+                ).hint("shuffle_hash"),
                 "_s",
             )
             .select(
@@ -182,7 +198,7 @@ def pagerank_int(
             .agg(F.sum("c").alias("s"))
         )
         ranks = (
-            nodes.join(contrib, "node", "left")
+            nodes.join(contrib.hint("shuffle_hash"), "node", "left")
             .select(
                 "node",
                 (F.lit(150_000) + F.coalesce(F.col("s"), F.lit(0)))
@@ -191,8 +207,23 @@ def pagerank_int(
             )
         )
         if i % 3 == 2:
+            # lineage cut every third round (r5 cadence); the checkpoint
+            # costs the NEXT round one node-sized ranks re-shuffle+sort
+            # (ExistingRDD forgets partitioning), never an edge-relation
+            # move — the cached e_od/nodes leaves bound every re-scan
             ranks = ranks.localCheckpoint()
-    return ranks.select("node", F.col("r").alias("rank_micro"))
+    out = ranks.select("node", F.col("r").alias("rank_micro"))
+    if iterations % 3 == 0 and iterations > 0:
+        # the loop ended on a checkpoint (eager), so the result is fully
+        # materialized and independent of the cached invariants — drop
+        # them so a long-lived session doesn't accrue per-call cache
+        # entries (and so repeated benchmark invocations cannot silently
+        # reuse a prior call's cache). For other iteration counts the
+        # returned plan still references the caches; they stay pinned
+        # for the session (callers may spark.catalog.clearCache()).
+        e_od.unpersist(False)
+        nodes.unpersist(False)
+    return out
 
 
 def entity_cooccurrence(

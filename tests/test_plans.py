@@ -299,36 +299,44 @@ def test_kg_diff_is_one_sort_merge_join(spark):
 
 
 def test_pagerank_iteration_is_single_join_per_round(spark):
-    """pagerank_int's 100 TB contract (r5 rework): the out-degree is
-    annotated onto the edge relation ONCE, outside the loop, so NO
-    iteration's plan re-joins an out-degree aggregate — each round is
-    exactly one join (ranks into the degree-annotated edges) plus one
-    contribution aggregate. A regression to the naive
-    edges⋈outdeg⋈ranks double join would show a per-iteration count
-    aggregate over the edge relation; the loop body must contain none
-    (the only count(1) aggregates allowed are inside the one-time window
-    annotation, which is checkpointed away before the loop)."""
+    """pagerank_int's 100 TB contract (r5 rework, r6 cache+hash-join
+    form): the out-degree is annotated onto the edge relation ONCE,
+    outside the loop, inside a persist()ed relation — so however many
+    iterations run, the plan contains exactly ONE Window operator (the
+    annotation, executed once at cache materialization), never a
+    per-iteration out-degree recompute. Each round is exactly one inner
+    join (ranks into the degree-annotated edges) plus one left-outer
+    rank reassembly, and both are SHUFFLED-HASH joins building from the
+    node-sized side — a sort-merge join here would re-sort the full
+    edge relation every iteration (the exchange is stage-reused by AQE
+    across iterations; a sort above it is not)."""
+    import re
+
     from ontology_mapper_spark.operators.graph import pagerank_int
 
     edges = spark.createDataFrame(
         [("s%d" % (i % 17), "d%d" % (i % 29)) for i in range(200)],
         "src string, dst string",
     )
+    # 2 iterations: below the lineage-checkpoint cadence, so the WHOLE
+    # loop is one lazy plan (a checkpointed run executes eagerly and
+    # truncates the inspectable plan to the post-checkpoint rounds).
+    # clearCache first: a prior call can leave the loop invariants
+    # cached (documented contract for iteration counts that don't end
+    # on a checkpoint), and re-binding them here would renumber ids.
+    spark.catalog.clearCache()
     p = plan_str(pagerank_int(edges, iterations=2))
     tree = p.split("\n\n")[0]
-    # loop-invariant relations are materialized (checkpointed): the
-    # out-degree window annotation ran pre-loop, so neither a Window nor
-    # a count aggregate (an out-degree recompute) appears ANYWHERE in
-    # the iterated plan — p includes the per-node detail sections where
-    # aggregate functions are spelled out
-    assert "Window" not in p, p
-    assert "count(1)" not in p and "count(*)" not in p, p
-    # exactly ONE ranks-into-edges join per iteration (whatever physical
-    # strategy the optimizer picks) — the naive shape had two inner
-    # joins per round (edges⋈outdeg, then ⋈ranks)
-    assert tree.count("Join Inner") == 2, tree
-    # plus the node-sized rank reassembly: one left-outer per iteration
-    assert tree.count("Join LeftOuter") == 2, tree
+    # the ONLY Window (and its count(1)) is the one-time out-degree
+    # annotation inside the cached edge relation: one distinct operator
+    # id however many iterations consume it
+    assert len(set(re.findall(r"Window \((\d+)\)", p))) == 1, p
+    # one ranks-into-edges join + one rank reassembly per iteration,
+    # both shuffled-hash with the node-sized build side; no sort-merge
+    # (and hence no per-iteration edge sort) anywhere
+    assert tree.count("ShuffledHashJoin Inner BuildRight") == 2, tree
+    assert tree.count("ShuffledHashJoin LeftOuter BuildRight") == 2, tree
+    assert "SortMergeJoin" not in tree, tree
 
 
 def test_entity_cooccurrence_pairs_are_map_side_arrays(spark):
