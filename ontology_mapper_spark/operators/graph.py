@@ -59,15 +59,27 @@ def ancestor_closure(
     accumulated closure, so revisits are dropped and the loop reaches a
     fixpoint even on cyclic inputs (the reference would recurse forever).
     """
+    # persist (not localCheckpoint): lazy pin — the edge relation
+    # materializes once inside round 1's frontier checkpoint instead of
+    # paying its own up-front job, and both consumers (hop + the
+    # accumulated closure) read the cache
     edges = (
         onto_terms.select(F.col("iri").alias("term"), F.explode("parents"))
         .select("term", F.col("key").alias("anc"))
-        .localCheckpoint()
+        .persist()
     )
     hop = edges.select(F.col("term").alias("mid"), F.col("anc").alias("next_anc"))
-    closure = edges
+    # the closure is accumulated as a LIST of materialized frontiers and
+    # unioned on demand — the r5 shape re-checkpointed the whole growing
+    # union every round (one extra full materialization job per round);
+    # a union over already-checkpointed pieces is free to build and
+    # costs nothing to re-scan
+    closure_parts = [edges]
     frontier = edges
     for _ in range(max_iterations):
+        closure = closure_parts[0]
+        for part in closure_parts[1:]:
+            closure = closure.unionByName(part)
         step = (
             frontier.select("term", F.col("anc").alias("mid"))
             .join(hop, "mid")
@@ -77,13 +89,16 @@ def ancestor_closure(
         new = step.join(closure, ["term", "anc"], "left_anti").localCheckpoint()
         if new.isEmpty():
             break
-        closure = closure.unionByName(new).localCheckpoint()
+        closure_parts.append(new)
         frontier = new
     else:
         raise RuntimeError(
             f"ancestor_closure did not converge in {max_iterations} iterations"
         )
-    return closure
+    out = closure_parts[0]
+    for part in closure_parts[1:]:
+        out = out.unionByName(part)
+    return out
 
 
 def pagerank_int(

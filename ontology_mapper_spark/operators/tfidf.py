@@ -388,20 +388,40 @@ def build_target_index(
     this guard exists to replace), persists the label relation across its
     two passes (released on exit — unless the CALLER already persisted it,
     in which case their cache is left untouched)."""
-    n_labels = onto_labels.count()  # dimension-scale action
-    if n_labels < _DISTRIBUTED_INDEX_MIN_LABELS or ngram_length != 3:
+    # Size probe and small-dimension collect in ONE job: a limit(K+1)
+    # collect both detects "above K labels" and, when the dimension is
+    # small (the common per-query case), already holds every row — the
+    # r5 shape paid a count() job plus a global-sort collect job for a
+    # dimension that fits on the driver anyway. The LABEL_ORDER sort
+    # happens driver-side: Python string comparison is code-point order,
+    # identical to Spark's binary UTF8 ordering for valid UTF-8, so the
+    # label-id tie-break is unchanged (and still matches the oracle).
+    lim = _DISTRIBUTED_INDEX_MIN_LABELS
+    rows = (
+        onto_labels.select("name", "iri", "display_label", "is_synonym")
+        .limit(lim + 1)
+        .collect()
+    )
+    if len(rows) <= lim or ngram_length != 3:
         # char_wb_ngrams_col is the 3-gram oracle-parity expression; other
         # gram sizes stay on the (slower) driver-side builder
-        rows = (
-            onto_labels.select("name", "iri", "display_label", "is_synonym")
-            .orderBy(*LABEL_ORDER)
-            .collect()
-        )
+        if len(rows) > lim:
+            # non-trigram dimension above the probe size: full collect
+            rows = (
+                onto_labels.select(
+                    "name", "iri", "display_label", "is_synonym"
+                )
+                .orderBy(*LABEL_ORDER)
+                .collect()
+            )
+        else:
+            rows.sort(key=lambda r: (r["iri"], r["is_synonym"], r["name"]))
         return _TargetIndex(
             [(r["name"], r["iri"], r["display_label"]) for r in rows],
             ngram_length,
             target_idf=target_idf,
         )
+    n_labels = onto_labels.count()  # dimension-scale action (large path)
     # Pre-flight: the attribute collect moves ~300 B/label and the
     # postings collect ~24 posting rows x ~40 B per label (measured on the
     # bench dimension) through driver task results, which

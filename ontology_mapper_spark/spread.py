@@ -22,17 +22,48 @@ pass over a by-definition-small relation.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
+
+# Above this input size the scan is left alone: a production-sized
+# source splits naturally (and repartitioning it would be a real
+# shuffle), while anything under it both NEEDS the spread (it scans as
+# a handful of tasks at best) and shuffles in a single cheap pass.
+SPREAD_MAX_BYTES = 64 * 1024 * 1024
 
 
 def spread_small_scan(df: DataFrame, target: int | None = None) -> DataFrame:
     """Repartition ``df`` to ``target`` (default ``defaultParallelism``)
-    partitions iff it currently has fewer — i.e. only when the scan is
-    too small to parallelize naturally. Row-level results are unchanged
-    (pure round-robin placement); only placement of rows changes, so
-    every deterministic relational result computed above is identical.
+    partitions iff its source is small — i.e. only when the scan cannot
+    parallelize naturally. Row-level results are unchanged (pure
+    round-robin placement); only placement of rows changes, so every
+    deterministic relational result computed above is identical.
+
+    The smallness probe is file-size-based (``df.inputFiles()`` + a
+    local stat — no Spark job, no plan compile) because the split
+    planner cannot split a single row group no matter the config; for
+    non-file-backed inputs (in-memory relations, RDD scans) it falls
+    back to the partition count, which is cheap to read there.
     """
     target = target or df.sparkSession.sparkContext.defaultParallelism
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = None
+    if files:
+        total = 0
+        for f in files:
+            # inputFiles URIs look like file:///path; extra leading
+            # slashes are harmless to a POSIX stat
+            path = f[5:] if f.startswith("file:") else f
+            try:
+                total += os.path.getsize(path)
+            except OSError:
+                return df  # non-local source: assume production-sized
+        if total >= SPREAD_MAX_BYTES:
+            return df
+        return df.repartition(target)
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
