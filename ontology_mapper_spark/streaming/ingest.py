@@ -61,6 +61,9 @@ def stream_pages_to_triples(
         if effective.mapper == Mapper.TFIDF and not effective.use_inverted_index
         else None
     )
+    # same writer-side guard as stream_incremental_kg: never let epoch
+    # dirs land next to legacy root part files (r5 advisor, medium)
+    _raise_if_legacy(spark, out_dir)
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
@@ -246,6 +249,14 @@ def stream_incremental_kg(
         and not effective.use_inverted_index
         else None
     )
+    # A stream restarted against an UNMIGRATED (root part-file) log would
+    # write epoch=N subdirs NEXT TO the legacy files — a mixed layout
+    # spark.read.parquet rejects ("conflicting directory structures"),
+    # breaking readers and the migration itself after the fact. The
+    # readers/compactor already guard; guard the WRITER too, before any
+    # batch can touch the dirs (r5 advisor, medium).
+    for d in (triples_dir, touched_dir, digest_dir):
+        _raise_if_legacy(spark, d)
     empty_digests = spark.createDataFrame([], "url string, digest string")
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:

@@ -420,6 +420,55 @@ def test_latest_digests_replay_bound(spark, tmp_path):
     assert latest_digests(spark, g, before_epoch=0).count() == 0
 
 
+def test_stream_writers_refuse_legacy_layout(spark, tmp_path):
+    """Writer-side legacy guard (r5 advisor, medium): a stream started
+    against an UNMIGRATED (root part-file) log dir must refuse BEFORE
+    any batch writes — epoch=N subdirs next to legacy files produce a
+    mixed layout spark.read.parquet rejects, breaking readers and the
+    migration itself after the fact."""
+    from ontology_mapper_spark.streaming.ingest import (
+        stream_incremental_kg,
+        stream_pages_to_triples,
+    )
+
+    onto = fixture_onto_terms(spark)
+    cfg = MappingConfig(max_mappings=1)
+    legacy = str(tmp_path / "legacy_triples")
+    spark.createDataFrame(
+        [("http://a#0", "mappedTo", "X", 1.0, 0)],
+        "subj string, pred string, obj string, score double, epoch long",
+    ).write.parquet(legacy)  # root part files = pre-epoch layout
+    in_dir = str(tmp_path / "pages_in")
+    os.makedirs(in_dir)
+    synthesize_pages(spark, 5).coalesce(1).write.parquet(
+        in_dir, mode="append"
+    )
+
+    with pytest.raises(RuntimeError, match="migrate_stream_log_layout"):
+        stream_pages_to_triples(
+            spark, in_dir, legacy, str(tmp_path / "ckpt1"), onto, cfg
+        )
+    from ontology_mapper_spark.operators.tfidf import source_idf_map
+    from ontology_mapper_spark.sources.pages import detect_mentions
+
+    src_idf = source_idf_map(
+        detect_mentions(synthesize_pages(spark, 5)), cfg.ngram_length
+    )
+    with pytest.raises(RuntimeError, match="migrate_stream_log_layout"):
+        stream_incremental_kg(
+            spark, in_dir, legacy, str(tmp_path / "touched"),
+            str(tmp_path / "digest"), str(tmp_path / "ckpt2"), onto, cfg,
+            tfidf_source_idf=src_idf,
+        )
+    # and the guard covers the secondary log dirs too
+    with pytest.raises(RuntimeError, match="migrate_stream_log_layout"):
+        stream_incremental_kg(
+            spark, in_dir, str(tmp_path / "triples"), legacy,
+            str(tmp_path / "digest"), str(tmp_path / "ckpt3"), onto, cfg,
+            tfidf_source_idf=src_idf,
+        )
+
+
 def test_stream_log_layout_migration(spark, tmp_path):
     """Pre-epoch-layout logs (root part files, epoch as a data column)
     are detected loudly and migrated in place to the epoch=N layout,
