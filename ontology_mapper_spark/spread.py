@@ -26,27 +26,51 @@ import os
 
 from pyspark.sql import DataFrame
 
-# Above this input size the scan is left alone: a production-sized
-# source splits naturally (and repartitioning it would be a real
-# shuffle), while anything under it both NEEDS the spread (it scans as
-# a handful of tasks at best) and shuffles in a single cheap pass.
-SPREAD_MAX_BYTES = 64 * 1024 * 1024
+# Never spread an input above this size: past it the one-pass shuffle is
+# real I/O, and a source this large parallelizes acceptably on its own
+# (>= a few maxPartitionBytes splits) even when it can't reach the full
+# core count. The scale-adaptive rule below (expected scan tasks vs
+# target) is what keeps production inputs untouched; this cap is the
+# safety belt on top of it.
+SPREAD_MAX_BYTES = 1024 * 1024 * 1024
+
+
+def _bytes_conf(spark, key: str, default: int) -> int:
+    """A Spark byte-size conf as an int (values come back as '134217728'
+    or '128m'/'128mb' depending on how they were set)."""
+    try:
+        s = str(spark.conf.get(key)).strip().lower()
+        mult = {"k": 2**10, "m": 2**20, "g": 2**30, "t": 2**40}
+        if s.endswith("b") and len(s) >= 2 and s[-2] in mult:
+            return int(float(s[:-2]) * mult[s[-2]])
+        if s and s[-1] in mult:
+            return int(float(s[:-1]) * mult[s[-1]])
+        return int(s)
+    except Exception:
+        return default
 
 
 def spread_small_scan(df: DataFrame, target: int | None = None) -> DataFrame:
     """Repartition ``df`` to ``target`` (default ``defaultParallelism``)
-    partitions iff its source is small — i.e. only when the scan cannot
-    parallelize naturally. Row-level results are unchanged (pure
-    round-robin placement); only placement of rows changes, so every
-    deterministic relational result computed above is identical.
+    partitions iff its source scan cannot parallelize to ``target``
+    tasks naturally. Row-level results are unchanged (pure round-robin
+    placement); only placement of rows changes, so every deterministic
+    relational result computed above is identical.
 
     The smallness probe is file-size-based (``df.inputFiles()`` + a
-    local stat — no Spark job, no plan compile) because the split
-    planner cannot split a single row group no matter the config; for
-    non-file-backed inputs (in-memory relations, RDD scans) it falls
-    back to the partition count, which is cheap to read there.
+    local stat — no Spark job, no plan compile): the split planner
+    yields at most ``ceil(total_bytes / maxPartitionBytes)`` scan tasks
+    (fewer still when files are single-row-group, which bytes cannot
+    detect — splitting is row-group-bounded), so when that ceiling is
+    already below ``target`` the scan is provably under-parallel and a
+    one-pass spread is cheap by construction (bounded by
+    ``SPREAD_MAX_BYTES``). A production-sized source fails both tests
+    and is never touched. For non-file-backed inputs (in-memory
+    relations, RDD scans) it falls back to the partition count, which
+    is cheap to read there.
     """
-    target = target or df.sparkSession.sparkContext.defaultParallelism
+    spark = df.sparkSession
+    target = target or spark.sparkContext.defaultParallelism
     try:
         files = df.inputFiles()
     except Exception:
@@ -61,7 +85,11 @@ def spread_small_scan(df: DataFrame, target: int | None = None) -> DataFrame:
                 total += os.path.getsize(path)
             except OSError:
                 return df  # non-local source: assume production-sized
-        if total >= SPREAD_MAX_BYTES:
+        max_split = _bytes_conf(
+            spark, "spark.sql.files.maxPartitionBytes", 128 * 1024 * 1024
+        )
+        expected_tasks = -(-total // max_split) if max_split else target
+        if total >= SPREAD_MAX_BYTES or expected_tasks >= target:
             return df
         return df.repartition(target)
     if df.rdd.getNumPartitions() >= target:
