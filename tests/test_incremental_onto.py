@@ -456,3 +456,95 @@ def test_inverted_plan_release_both_legs(spark, state):
             ),
             rebuild_below_labels=None,
         )
+
+
+@pytest.mark.spark
+@pytest.mark.slow
+def test_ontology_axis_random_release_walk_matches_rebuild(spark):
+    """Model-based property test (r5 VERDICT #8): a SEEDED random walk
+    of ontology releases. Each step applies a random batch of edits —
+    term added, term removed, label changed, synonym added, synonym
+    removed — to a plain Python row-dict MODEL of the ontology, then
+    asserts the incremental path (valve off, pure delta, frozen models)
+    equals a full rebuild from the model, and carries the incremental
+    output forward as the next step's prev. Covers edit COMPOSITIONS
+    and delta-chaining the single crafted v1→v2 fixture cannot."""
+    import random
+
+    from ontology_mapper_spark.sources.ontology import (
+        fixture_ontology_rows,
+    )
+
+    rng = random.Random(20260822)
+    cfg = MappingConfig(max_mappings=2)
+    pages = synthesize_pages(spark, 60).cache()
+
+    def copy_rows(rows):
+        return [
+            dict(r, labels=list(r["labels"]), synonyms=list(r["synonyms"]))
+            for r in rows
+        ]
+
+    cur_rows = copy_rows(fixture_ontology_rows())
+    v = onto_terms_from_rows(spark, cur_rows).cache()
+    src_idf = source_idf_map(detect_mentions(pages), cfg.ngram_length)
+    # label-side model frozen at the FIRST snapshot for the whole walk
+    # (the real-world direction: the model predates every release)
+    tgt_idf = target_idf_map(_labels(cfg, v), cfg.ngram_length)
+    prev = construct_kg(
+        pages, v, cfg,
+        tfidf_source_idf=src_idf,
+        tfidf_index=build_pipeline_index(v, cfg, target_idf=tgt_idf),
+    ).cache()
+    vocab = [
+        "random walk", "colon disease", "gamma ray", "carbon monoxide",
+        "blood pressure", "table scan",
+    ]
+    uid = 0
+    for step in range(3):
+        nxt = copy_rows(cur_rows)
+        for _ in range(rng.randint(1, 3)):
+            op = rng.choice(
+                ["add_term", "remove_term", "change_label", "add_syn",
+                 "remove_syn"]
+            )
+            uid += 1
+            if op == "add_term":
+                nxt.append({
+                    "iri": f"http://example.org/walk/W_{uid}",
+                    "labels": [f"{rng.choice(vocab)} walk {uid}"],
+                    "synonyms": [], "definitions": [], "parents": {},
+                    "children": {}, "instances": {}, "restrictions": {},
+                    "deprecated": False, "term_type": "class",
+                })
+            elif op == "remove_term" and len(nxt) > 5:
+                nxt.pop(rng.randrange(len(nxt)))
+            elif op == "change_label":
+                r = nxt[rng.randrange(len(nxt))]
+                if r["labels"]:
+                    r["labels"] = [r["labels"][0] + f" v{uid}"] + r[
+                        "labels"
+                    ][1:]
+            elif op == "add_syn":
+                r = nxt[rng.randrange(len(nxt))]
+                r["synonyms"] = r["synonyms"] + [
+                    f"{rng.choice(vocab)} syn {uid}"
+                ]
+            elif op == "remove_syn":
+                cands = [r for r in nxt if r["synonyms"]]
+                if cands:
+                    r = cands[rng.randrange(len(cands))]
+                    r["synonyms"] = r["synonyms"][1:]
+        v2 = onto_terms_from_rows(spark, nxt).cache()
+        out = incremental_kg_ontology(
+            pages, prev, v, v2, cfg,
+            tfidf_source_idf=src_idf, tfidf_target_idf=tgt_idf,
+            rebuild_below_labels=None,
+        ).cache()
+        full = construct_kg(
+            pages, v2, cfg,
+            tfidf_source_idf=src_idf,
+            tfidf_index=build_pipeline_index(v2, cfg, target_idf=tgt_idf),
+        )
+        assert _key(out) == _key(full), f"diverged at step {step}"
+        prev, v, cur_rows = out, v2, nxt
