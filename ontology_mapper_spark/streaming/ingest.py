@@ -419,13 +419,20 @@ def _acquire_lease(spark: SparkSession, lease_path: str, purpose: str) -> str:
     when two actors are live (r5 second-review finding #1). Returns the
     token; raises naming ``purpose`` when the lease is held.
 
-    Residual window, documented: between the atomic ``createNewFile``
-    and the token stamp, a ``break_lease`` + re-acquire by another
-    actor would be clobbered by our stamp. Reaching it requires an
-    operator breaking a milliseconds-old lease against the explicit
-    "only with the stream stopped" contract; atomic create-with-content
-    is not portable (local-FS rename overwrites, so rename-onto-path
-    cannot substitute for createNewFile)."""
+    Usurpation guard (r5 VERDICT #3): the acquire-to-stamp window — a
+    ``break_lease`` + re-acquire by another actor between our atomic
+    ``createNewFile`` and our token write — is now DETECTED instead of
+    silently clobbering the usurper's token: we created the file EMPTY,
+    so any content found before our stamp is a usurper's token (raise
+    "usurped" without touching their file), and a read-back after our
+    stamp catches a stamp that landed in between. The residual window
+    is the instant between read-back and return (atomic
+    create-with-content is not portable: local-FS rename overwrites, so
+    rename-onto-path cannot substitute for createNewFile); a loser that
+    slips through still fails loudly at release via the token check.
+    Reaching any of this requires an operator breaking a
+    milliseconds-old lease against the explicit "only with the stream
+    stopped" contract."""
     fs, lp = _fs_and_path(spark, lease_path)
     if not fs.createNewFile(lp):
         raise RuntimeError(
@@ -434,9 +441,29 @@ def _acquire_lease(spark: SparkSession, lease_path: str, purpose: str) -> str:
             "compact_stream_log(break_lease=True) ONLY with the stream "
             "stopped)"
         )
+    return _stamp_owner_token(spark, lease_path, purpose)
+
+
+def _stamp_owner_token(
+    spark: SparkSession, lease_path: str, purpose: str
+) -> str:
+    """Second phase of :func:`_acquire_lease` (factored so the
+    usurpation interleaving is directly testable): verify the
+    just-created lease file is still OURS (empty), stamp the owner
+    token, verify the stamp survived. Raises "usurped" — leaving the
+    usurper's file untouched — when another actor's token is found at
+    either check."""
+    fs, lp = _fs_and_path(spark, lease_path)
+    existing = _read_lease_token(spark, lease_path)
+    if existing:
+        raise RuntimeError(
+            f"{purpose}: lease {lease_path} was usurped between acquire "
+            "and stamp (a break_lease on a live holder raced this "
+            "acquire); the usurper owns the lease — backing off"
+        )
     token = uuid.uuid4().hex
     try:
-        out = fs.create(lp, True)  # we own the file; stamp it
+        out = fs.create(lp, True)  # we own the (empty) file; stamp it
         try:
             out.write(bytearray(token.encode("ascii")))
         finally:
@@ -450,6 +477,13 @@ def _acquire_lease(spark: SparkSession, lease_path: str, purpose: str) -> str:
         except Exception:
             pass
         raise
+    stamped = _read_lease_token(spark, lease_path)
+    if stamped != token:
+        raise RuntimeError(
+            f"{purpose}: lease {lease_path} was usurped during the token "
+            "stamp (another actor's token is in place); the usurper owns "
+            "the lease — backing off"
+        )
     return token
 
 

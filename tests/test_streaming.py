@@ -656,3 +656,23 @@ def test_stream_log_crash_model_property(spark, tmp_path):
 
     for case in range(2):
         run_case(case)
+
+
+def test_lease_acquire_stamp_usurpation_detected(spark, tmp_path):
+    """r5 VERDICT #3: the acquire-to-stamp TOCTOU is now a DETECTED
+    failure. Actor A atomically creates the lease, pauses before
+    stamping; an operator (contract-violatingly) breaks the live lease
+    and actor B re-acquires and stamps. A's resumed stamp phase must
+    raise "usurped" and leave B's token untouched — not silently
+    clobber it as r5 did."""
+    from ontology_mapper_spark.streaming import ingest
+
+    lease = str(tmp_path / "log") + "._compacting"
+    fs, lp = ingest._fs_and_path(spark, lease)
+    assert fs.createNewFile(lp)  # A: atomic create, paused pre-stamp
+    ingest._break_lease(spark, lease)  # operator breaks the live lease
+    token_b = ingest._acquire_lease(spark, lease, "usurper")  # B owns it
+    with pytest.raises(RuntimeError, match="usurped"):
+        ingest._stamp_owner_token(spark, lease, "loser")  # A resumes
+    # B's lease survives intact
+    assert ingest._read_lease_token(spark, lease) == token_b
