@@ -108,6 +108,31 @@ def syntactic_map_broadcast(
     )
 
 
+def _native_sim_expr(mapper: str, term, name):
+    """The JVM-native similarity expression for metrics Catalyst can compute
+    (same formulas as ``functions.metrics``; whole-stage codegen, no Python).
+    Returns None when the metric has no native form (jaro/fuzzy/indel)."""
+    term = F.col(term) if isinstance(term, str) else term
+    name = F.col(name) if isinstance(name, str) else name
+    if mapper == "levenshtein":
+        sim = 1.0 - F.levenshtein(term, name) / F.greatest(
+            F.length(term), F.length(name)
+        )
+        return F.when(
+            (F.length(term) == 0) & (F.length(name) == 0), F.lit(1.0)
+        ).otherwise(sim)
+    if mapper == "jaccard":
+        chars_s = F.array_distinct(F.split(term, ""))
+        chars_n = F.array_distinct(F.split(name, ""))
+        inter = F.size(F.array_intersect(chars_s, chars_n))
+        union = F.size(F.array_union(chars_s, chars_n))
+        return F.when(union == 0, F.lit(1.0)).otherwise(inter / union)
+    return None
+
+
+NATIVE_METRICS = frozenset({"levenshtein", "jaccard"})
+
+
 def syntactic_map_prefiltered(
     mentions: DataFrame,
     onto_labels: DataFrame,
@@ -146,22 +171,35 @@ def syntactic_map_prefiltered(
     pairs = cand.join(F.broadcast(names), "iri")
     metric_name = cfg.mapper
 
-    @F.pandas_udf(T.DoubleType())
-    def best_sim(term: pd.Series, names_col: pd.Series) -> pd.Series:
-        metric = METRICS[metric_name]
-        out = []
-        for t, nm in zip(term, names_col):
-            best = 0.0
-            for n in nm:
-                s = metric(t, n)
-                if s > best:
-                    best = s
-            out.append(best)
-        return pd.Series(out)
+    if metric_name in NATIVE_METRICS:
+        # guide §4.1: the metric has a JVM form — rescore inside codegen via
+        # a higher-order function over the names array (max over names ≡ the
+        # kernel's best-of loop; sim ∈ [0,1] so the 0.0 floor is vacuous).
+        # No ArrowEvalPython stage, no second Python worker round-trip.
+        score_expr = F.array_max(
+            F.transform(
+                "names", lambda n: _native_sim_expr(metric_name, F.col("source_term"), n)
+            )
+        )
+        scored = pairs.withColumn("mapping_score", score_expr)
+    else:
 
-    scored = pairs.withColumn(
-        "mapping_score", best_sim(F.col("source_term"), F.col("names"))
-    )
+        @F.pandas_udf(T.DoubleType())
+        def best_sim(term: pd.Series, names_col: pd.Series) -> pd.Series:
+            metric = METRICS[metric_name]
+            out = []
+            for t, nm in zip(term, names_col):
+                best = 0.0
+                for n in nm:
+                    s = metric(t, n)
+                    if s > best:
+                        best = s
+                out.append(best)
+            return pd.Series(out)
+
+        scored = pairs.withColumn(
+            "mapping_score", best_sim(F.col("source_term"), F.col("names"))
+        )
     w = Window.partitionBy("source_term_id").orderBy(
         F.desc("mapping_score"), F.asc("iri")
     )
@@ -184,20 +222,8 @@ def syntactic_map_sql(
     """Native-expression plan for 'levenshtein' and 'jaccard'. The cross join
     broadcasts the (small) label side; Catalyst keeps the whole metric in
     codegen. Same output contract as the broadcast kernel."""
-    if cfg.mapper == "levenshtein":
-        sim = 1.0 - F.levenshtein(F.col("source_term"), F.col("name")) / F.greatest(
-            F.length("source_term"), F.length("name")
-        )
-        sim = F.when(
-            (F.length("source_term") == 0) & (F.length("name") == 0), F.lit(1.0)
-        ).otherwise(sim)
-    elif cfg.mapper == "jaccard":
-        chars_s = F.array_distinct(F.split(F.col("source_term"), ""))
-        chars_n = F.array_distinct(F.split(F.col("name"), ""))
-        inter = F.size(F.array_intersect(chars_s, chars_n))
-        union = F.size(F.array_union(chars_s, chars_n))
-        sim = F.when(union == 0, F.lit(1.0)).otherwise(inter / union)
-    else:
+    sim = _native_sim_expr(cfg.mapper, "source_term", "name")
+    if sim is None:
         raise ValueError(f"No native-SQL plan for metric: {cfg.mapper}")
 
     pairs = mentions.select("source_term_id", "source_term").crossJoin(

@@ -91,6 +91,15 @@ def test_prefiltered_rescoring_broadcasts_names(spark):
     p = plan_str(out)
     assert "BroadcastHashJoin" in p, p
     assert "SortMergeJoin" not in p, p
+    # r6: metrics with a JVM form rescore inside codegen (array_max over a
+    # transform lambda) — the candidate kernel is the plan's ONLY Python
+    # stage; a second ArrowEvalPython round-trip must never reappear.
+    assert "ArrowEvalPython" not in p, p
+    # ...and a metric without a JVM form still gets the Arrow rescorer.
+    fuzzy = syntactic_map_prefiltered(
+        mentions, labels, MappingConfig(mapper="fuzzy", max_mappings=3)
+    )
+    assert "ArrowEvalPython" in plan_str(fuzzy)
 
 
 @pytest.mark.spark
