@@ -128,17 +128,21 @@ def pagerank_int(
 
     Scale shape: the out-degree is annotated onto the edge relation
     ONCE, outside the loop, by a count window over ``src`` — one
-    shuffle+sort of the edge relation, no dimension relation moving —
-    so each iteration pays exactly one join (ranks into the
+    shuffle+sort of the edge relation, no dimension relation moving.
+    The loop state is the per-node contribution SUM (``r = 150_000 +
+    coalesce(s, 0)`` folds into the next round's join projection), so
+    each iteration pays exactly one left join (sums into the
     degree-annotated edges on ``src``) and one aggregate (contributions
-    on ``dst``), not the naive edges⋈outdeg⋈ranks double join. The
-    annotated edge relation and the node set are pinned with persist()
-    (cached plans keep their hash partitioning AND sort order, which a
-    localCheckpoint's ExistingRDD scan loses), so after the annotation
-    pass the edge side never shuffles or sorts again — each iteration
-    moves only node-sized relations (on a cluster this is the
-    bucketed-join shape). Every third iteration's ranks are
-    localCheckpointed to bound lineage depth."""
+    on ``dst``) — no per-round rank reassembly join — and round 1 is
+    join-free (``r_0`` is a constant). One final left join rebuilds
+    ranks for all nodes, sinks included. The annotated edge relation
+    and the node set are pinned with persist() (cached plans keep their
+    hash partitioning AND sort order, which a localCheckpoint's
+    ExistingRDD scan loses), so after the annotation pass the edge side
+    never shuffles or sorts again — each iteration moves only
+    node-sized relations (on a cluster this is the bucketed-join
+    shape). Every third round's sums are localCheckpointed to bound
+    lineage depth."""
     # Loop-invariant: each edge annotated with its source's out-degree —
     # (r*85) div (100*_od) only needs _od next to the edge, never a
     # second join in the loop. A count window over _s does it in ONE
@@ -172,16 +176,24 @@ def pagerank_int(
         .distinct()
         .persist()
     )
-    ranks = nodes.withColumn("r", F.lit(1_000_000).cast("long"))
+    if iterations <= 0:
+        return nodes.select(
+            "node", F.lit(1_000_000).cast("long").alias("rank_micro")
+        )
     # int64-safe ceiling: past it, r * 85 would overflow — Spark (non-ANSI)
     # wraps SILENTLY where DuckDB raises and the Python replica is exact,
     # three different outcomes for a bit-identical-by-contract operator.
     # Guard loudly per-row (free in the projection; reachable only under
     # extreme hub mass concentration, ~1.1e17 micro-units on one node).
+    # The guard sits where the multiplication happens — on the SOURCE rank
+    # flowing into each edge's contribution (a sink node's rank is never
+    # multiplied, so it cannot overflow and needs no check; DuckDB's
+    # replay raises in exactly the same place).
     max_rank = _max_rank if _max_rank is not None else (2**63 - 1) // 85
-    for i in range(iterations):
-        safe_r = F.when(
-            F.col("r") > F.lit(max_rank),
+
+    def _guarded(r):
+        return F.when(
+            r > F.lit(max_rank),
             F.raise_error(
                 F.lit(
                     "pagerank_int: rank exceeds the int64-safe ceiling "
@@ -189,53 +201,79 @@ def pagerank_int(
                     "rescaling pass is required"
                 )
             ).cast("long"),
-        ).otherwise(F.col("r"))
-        # SHUFFLE_HASH hints: both loop joins build their hash map from
-        # the node-sized side (one rank row per node; the contribution
-        # aggregate), so the per-task build is |nodes| / shuffle
-        # partitions and uniform (unique keys). A sort-merge join here
-        # re-SORTS the full edge relation every iteration (the exchange
-        # itself is stage-reused across iterations by AQE, the sort is
-        # not) — measured at 600k edges x 6 iterations the hash join
-        # drops that entire per-iteration sort cost.
+        ).otherwise(r)
+
+    # r6.2: the loop state is the per-node contribution SUM s_t, not the
+    # rank — r_t(v) = 150_000 + coalesce(s_t(v), 0) for t >= 1, so the
+    # rank formula folds into the next round's join projection and the
+    # old per-round left-outer rank reassembly (a second node-sized
+    # shuffle+join every iteration) disappears; one final left join
+    # rebuilds ranks for ALL nodes (sinks included) after the loop.
+    # Round 1 is JOIN-FREE: r_0 is the constant 1_000_000, so the first
+    # contribution aggregate reads the cached edge relation directly.
+    #
+    # SHUFFLE_HASH hint: the one loop join builds its hash map from the
+    # node-sized side (the previous round's contribution sums), so the
+    # per-task build is |nodes| / shuffle partitions and uniform (unique
+    # keys). A sort-merge join here would re-SORT the full edge relation
+    # every iteration (the exchange itself is stage-reused across
+    # iterations by AQE, the sort is not) — measured at 600k edges x 6
+    # iterations the hash join drops that entire per-iteration sort cost.
+    c_expr = F.expr("(r * 85) div (100 * _od)").cast("long").alias("c")
+    s = (
+        e_od.withColumn("r", _guarded(F.lit(1_000_000).cast("long")))
+        .select(F.col("_d").alias("node"), c_expr)
+        .groupBy("node")
+        .agg(F.sum("c").alias("s"))
+    )
+    for i in range(1, iterations):
         contrib = (
             e_od.join(
-                ranks.select(
-                    F.col("node").alias("_s"), safe_r.alias("r")
-                ).hint("shuffle_hash"),
+                s.select(F.col("node").alias("_s"), "s").hint("shuffle_hash"),
                 "_s",
+                "left",
             )
-            .select(
-                F.col("_d").alias("node"),
-                F.expr("(r * 85) div (100 * _od)").cast("long").alias("c"),
+            .withColumn(
+                "r",
+                _guarded(
+                    (F.lit(150_000) + F.coalesce(F.col("s"), F.lit(0))).cast(
+                        "long"
+                    )
+                ),
             )
-            .groupBy("node")
-            .agg(F.sum("c").alias("s"))
+            .select(F.col("_d").alias("node"), c_expr)
         )
-        ranks = (
-            nodes.join(contrib.hint("shuffle_hash"), "node", "left")
-            .select(
-                "node",
-                (F.lit(150_000) + F.coalesce(F.col("s"), F.lit(0)))
-                .cast("long")
-                .alias("r"),
-            )
-        )
-        if i % 3 == 2:
+        s = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        if i % 3 == 2 and i < iterations - 1:
             # lineage cut every third round (r5 cadence); the checkpoint
-            # costs the NEXT round one node-sized ranks re-shuffle+sort
+            # costs the NEXT round one node-sized re-shuffle+sort
             # (ExistingRDD forgets partitioning), never an edge-relation
-            # move — the cached e_od/nodes leaves bound every re-scan
-            ranks = ranks.localCheckpoint()
-    out = ranks.select("node", F.col("r").alias("rank_micro"))
-    if iterations % 3 == 0 and iterations > 0:
-        # the loop ended on a checkpoint (eager), so the result is fully
-        # materialized and independent of the cached invariants — drop
-        # them so a long-lived session doesn't accrue per-call cache
-        # entries (and so repeated benchmark invocations cannot silently
-        # reuse a prior call's cache). For other iteration counts the
-        # returned plan still references the caches; they stay pinned
-        # for the session (callers may spark.catalog.clearCache()).
+            # move — the cached e_od/nodes leaves bound every re-scan.
+            # (The LAST round's cut lands on the assembled output below
+            # instead, so the returned result is cache-independent.)
+            s = s.localCheckpoint()
+    out = (
+        nodes.join(
+            s.hint("shuffle_hash"),
+            "node",
+            "left",
+        )
+        .select(
+            "node",
+            (F.lit(150_000) + F.coalesce(F.col("s"), F.lit(0)))
+            .cast("long")
+            .alias("rank_micro"),
+        )
+    )
+    if iterations % 3 == 0:
+        # iteration counts ending on the checkpoint cadence materialize
+        # the final assembly eagerly and drop the cached invariants, so a
+        # long-lived session doesn't accrue per-call cache entries (and
+        # repeated benchmark invocations cannot silently reuse a prior
+        # call's cache). For other iteration counts the returned plan
+        # still references the caches; they stay pinned for the session
+        # (callers may spark.catalog.clearCache()).
+        out = out.localCheckpoint()
         e_od.unpersist(False)
         nodes.unpersist(False)
     return out

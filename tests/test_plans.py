@@ -308,17 +308,19 @@ def test_kg_diff_is_one_sort_merge_join(spark):
 
 
 def test_pagerank_iteration_is_single_join_per_round(spark):
-    """pagerank_int's 100 TB contract (r5 rework, r6 cache+hash-join
-    form): the out-degree is annotated onto the edge relation ONCE,
-    outside the loop, inside a persist()ed relation — so however many
-    iterations run, the plan contains exactly ONE Window operator (the
-    annotation, executed once at cache materialization), never a
-    per-iteration out-degree recompute. Each round is exactly one inner
-    join (ranks into the degree-annotated edges) plus one left-outer
-    rank reassembly, and both are SHUFFLED-HASH joins building from the
-    node-sized side — a sort-merge join here would re-sort the full
-    edge relation every iteration (the exchange is stage-reused by AQE
-    across iterations; a sort above it is not)."""
+    """pagerank_int's 100 TB contract (r5 rework, r6 cache+hash-join +
+    sum-state form): the out-degree is annotated onto the edge relation
+    ONCE, outside the loop, inside a persist()ed relation — so however
+    many iterations run, the plan contains exactly ONE Window operator
+    (the annotation, executed once at cache materialization), never a
+    per-iteration out-degree recompute. The loop state is the per-node
+    contribution sum, so round 1 is JOIN-FREE (r_0 is a constant) and
+    every later round is exactly ONE left-outer join (sums into the
+    degree-annotated edges); one final left join reassembles ranks for
+    all nodes. Every join is SHUFFLED-HASH building from the node-sized
+    side — a sort-merge join here would re-sort the full edge relation
+    every iteration (the exchange is stage-reused by AQE across
+    iterations; a sort above it is not)."""
     import re
 
     from ontology_mapper_spark.operators.graph import pagerank_int
@@ -340,11 +342,12 @@ def test_pagerank_iteration_is_single_join_per_round(spark):
     # annotation inside the cached edge relation: one distinct operator
     # id however many iterations consume it
     assert len(set(re.findall(r"Window \((\d+)\)", p))) == 1, p
-    # one ranks-into-edges join + one rank reassembly per iteration,
-    # both shuffled-hash with the node-sized build side; no sort-merge
-    # (and hence no per-iteration edge sort) anywhere
-    assert tree.count("ShuffledHashJoin Inner BuildRight") == 2, tree
+    # 2 iterations = ONE sums-into-edges loop join (round 2; round 1 is
+    # join-free) + ONE final rank reassembly, both shuffled-hash with
+    # the node-sized build side; no inner joins, no sort-merge (and
+    # hence no per-iteration edge sort) anywhere
     assert tree.count("ShuffledHashJoin LeftOuter BuildRight") == 2, tree
+    assert tree.count("ShuffledHashJoin") == 2, tree
     assert "SortMergeJoin" not in tree, tree
 
 
