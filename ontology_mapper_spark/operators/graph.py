@@ -135,11 +135,11 @@ def pagerank_int(
     degree-annotated edges on ``src``) and one aggregate (contributions
     on ``dst``) — no per-round rank reassembly join — and round 1 is
     join-free (``r_0`` is a constant). One final left join rebuilds
-    ranks for all nodes, sinks included. The annotated edge relation
-    and the node set are pinned with persist() (cached plans keep their
-    hash partitioning AND sort order, which a localCheckpoint's
-    ExistingRDD scan loses), so after the annotation pass the edge side
-    never shuffles or sorts again — each iteration moves only
+    ranks for all nodes, sinks included. The annotated edge relation is
+    pinned with persist() (cached plans keep their hash partitioning
+    AND sort order, which a localCheckpoint's ExistingRDD scan loses),
+    so after the annotation pass the edge side never shuffles or sorts
+    again — each iteration moves only
     node-sized relations (on a cluster this is the bucketed-join
     shape). Every third round's sums are localCheckpointed to bound
     lineage depth."""
@@ -168,13 +168,14 @@ def pagerank_int(
         .withColumn("_od", F.count(F.lit(1)).over(Window.partitionBy("_s")))
         .persist()
     )
-    # node set derived from the annotated edges (one pinned relation
-    # instead of r5's separate edge checkpoint read twice)
+    # node set derived from the annotated edges; NOT persisted — in the
+    # sum-state shape it has exactly one consumer (the final rank
+    # assembly), so a cache write would cost a materialization pass with
+    # zero reuse (it was read every iteration when ranks were the state)
     nodes = (
         e_od.select(F.col("_s").alias("node"))
         .unionByName(e_od.select(F.col("_d").alias("node")))
         .distinct()
-        .persist()
     )
     if iterations <= 0:
         return nodes.select(
@@ -275,7 +276,6 @@ def pagerank_int(
         # (callers may spark.catalog.clearCache()).
         out = out.localCheckpoint()
         e_od.unpersist(False)
-        nodes.unpersist(False)
     return out
 
 
