@@ -86,8 +86,13 @@ def ancestor_closure(
             .select("term", F.col("next_anc").alias("anc"))
             .distinct()
         )
-        new = step.join(closure, ["term", "anc"], "left_anti").localCheckpoint()
-        if new.isEmpty():
+        # lazy checkpoint + count(): ONE job materializes the frontier AND
+        # answers the fixpoint test (an eager checkpoint followed by
+        # isEmpty paid two scheduled jobs per round for the same answer)
+        new = step.join(closure, ["term", "anc"], "left_anti").localCheckpoint(
+            eager=False
+        )
+        if new.count() == 0:
             break
         closure_parts.append(new)
         frontier = new
