@@ -453,11 +453,12 @@ def neardup_clusters(pairs: DataFrame, max_iterations: int = 50) -> DataFrame:
     O(n) action rounds before the r3 iteration guard fired (r3 VERDICT
     #6); a 200-doc chain now converges in <= ~9 rounds. The extra
     label-sized self-join per round is keyed and map-side-combinable —
-    cheap next to the edge join. Lineage is truncated by localCheckpoint
-    every third round (not every round: only the newest labels relation is
-    live, so frequent checkpoints would pin superseded copies in block
-    storage until the ContextCleaner gets to them — r3 review); cycle-safe
-    by construction (min-propagation is monotone)."""
+    cheap next to the edge join. Lineage is truncated by a LAZY
+    localCheckpoint every round, materialized for free by the convergence
+    probe's action — each round's joins run exactly once (the r3
+    every-3rd-round cadence traded an extra eager job against lineage
+    recompute; a lazy checkpoint pays neither); cycle-safe by
+    construction (min-propagation is monotone)."""
     sym = (
         pairs.select(F.col("doc_a").alias("doc"), F.col("doc_b").alias("nbr"))
         .unionByName(
@@ -507,8 +508,15 @@ def neardup_clusters(pairs: DataFrame, max_iterations: int = 50) -> DataFrame:
                 "cluster_id", F.coalesce("_ll", "cluster_id")
             ).alias("cluster_id"),
         )
-        if it % 3 == 2:
-            new_labels = new_labels.localCheckpoint()
+        # lazy checkpoint EVERY round, materialized as a side effect of
+        # the convergence probe below — each round's joins execute exactly
+        # once. (The r3 every-3rd-round cadence assumed a checkpoint costs
+        # its own job; a lazy one doesn't, and without it the probe's
+        # action plus the next round's lineage recomputed every
+        # unmaterialized round ~twice. Superseded label snapshots are
+        # doc-sized and unpinned by the ContextCleaner as references
+        # drop.)
+        new_labels = new_labels.localCheckpoint(eager=False)
         changed = new_labels.join(
             labels, ["doc", "cluster_id"], "left_anti"
         )
