@@ -168,6 +168,15 @@ def pagerank_int(
     # at its default false), so the edge relation never moves or sorts
     # again after the annotation pass: each iteration shuffles only the
     # node-sized ranks/contribution relations.
+    if iterations <= 0:
+        # constant ranks need only the node set — never build (or pin)
+        # the degree-annotated edge cache for zero loop iterations
+        return (
+            edges.select(F.col(src).alias("node"))
+            .unionByName(edges.select(F.col(dst).alias("node")))
+            .distinct()
+            .select("node", F.lit(1_000_000).cast("long").alias("rank_micro"))
+        )
     e_od = (
         edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
         .withColumn("_od", F.count(F.lit(1)).over(Window.partitionBy("_s")))
@@ -182,10 +191,6 @@ def pagerank_int(
         .unionByName(e_od.select(F.col("_d").alias("node")))
         .distinct()
     )
-    if iterations <= 0:
-        return nodes.select(
-            "node", F.lit(1_000_000).cast("long").alias("rank_micro")
-        )
     # int64-safe ceiling: past it, r * 85 would overflow — Spark (non-ANSI)
     # wraps SILENTLY where DuckDB raises and the Python replica is exact,
     # three different outcomes for a bit-identical-by-contract operator.

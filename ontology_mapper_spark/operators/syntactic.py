@@ -130,9 +130,6 @@ def _native_sim_expr(mapper: str, term, name):
     return None
 
 
-NATIVE_METRICS = frozenset({"levenshtein", "jaccard"})
-
-
 def syntactic_map_prefiltered(
     mentions: DataFrame,
     onto_labels: DataFrame,
@@ -171,7 +168,9 @@ def syntactic_map_prefiltered(
     pairs = cand.join(F.broadcast(names), "iri")
     metric_name = cfg.mapper
 
-    if metric_name in NATIVE_METRICS:
+    # single dispatch point: the same probe syntactic_map_sql uses — a
+    # metric gains the codegen path the moment _native_sim_expr learns it
+    if _native_sim_expr(metric_name, F.lit(""), F.lit("")) is not None:
         # guide §4.1: the metric has a JVM form — rescore inside codegen via
         # a higher-order function over the names array (max over names ≡ the
         # kernel's best-of loop; sim ∈ [0,1] so the 0.0 floor is vacuous).
