@@ -285,9 +285,11 @@ def test_inverted_index_dedup_scoring_equivalent(spark):
 
 
 @pytest.mark.spark
-def test_kg_diff_is_one_sort_merge_join(spark):
-    """kg_diff's 100 TB contract: exactly ONE full-outer SortMergeJoin on
-    the triple key (one Exchange per side), no broadcast-nested-loop, no
+def test_kg_diff_is_one_shuffled_hash_join(spark):
+    """kg_diff's 100 TB contract: exactly ONE full-outer SHUFFLED-HASH
+    join on the triple key (one Exchange per side, NO sort of either
+    snapshot leg — r6: the triple key is unique per side so the hash
+    build is uniform and node-bounded), no broadcast-nested-loop, no
     Python in the plan — the diff is a pure JVM co-partitioned join at
     any scale."""
     from ontology_mapper_spark.operators.graph import kg_diff
@@ -301,7 +303,9 @@ def test_kg_diff_is_one_sort_merge_join(spark):
     )
     p = plan_str(kg_diff(a, b))
     tree = p.split("\n\n")[0]  # operator tree; details repeat each node
-    assert tree.count("SortMergeJoin FullOuter") == 1, tree
+    assert tree.count("ShuffledHashJoin FullOuter") == 1, tree
+    assert "SortMergeJoin" not in tree, tree
+    assert "Sort " not in tree, tree
     assert "BroadcastNestedLoopJoin" not in p, p
     assert "MapInPandas" not in p and "BatchEvalPython" not in p, p
     assert tree.count("Exchange") == 2, tree
